@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship sheep pipeline on sf0.001. ``queries`` maps
+every SQL-expressible operator from SURVEY.md §2 (+ the training-data
+ops) to a (spark, sf_dir) callable; ``oracle_sql`` holds the DuckDB
+equivalents. Non-SQL-expressible ops (union-find tree build, FFD
+packing, LSH/simhash with driver-side state) appear in ``queries`` only
+→ rows-only checks.
+
+Column names are aliased identically on both sides; sums are cast to
+BIGINT (DuckDB SUM(int)→HUGEINT otherwise); floats are rounded so the
+value-hash is stable across engines.
 """
 
 from __future__ import annotations
@@ -12,27 +17,483 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+V_MOD = 4999
+K = 8  # partition count used by the assignment/metric queries
+PR_ITERS = 5
+CC_MOD = 7  # sparsifier for the CC query: dense enough for a small
+# diameter (few supersteps), sparse enough for a tractable DuckDB closure
+
+# ---------------------------------------------------------------------------
+# shared derivations (Spark side)
+# ---------------------------------------------------------------------------
+
+
+def _graph(spark: SparkSession, sf_dir: str):
+    from sheep_spark import graph
+
+    edges = graph.edges_from_tpch(spark, sf_dir, V_MOD).persist()
+    verts = graph.vertices_from_edges(edges).persist()
+    return edges, verts
+
+
+def _naive_meta(spark: SparkSession, sf_dir: str):
+    from sheep_spark import partitioner
+
+    edges, verts = _graph(spark, sf_dir)
+    assign = partitioner.naive_partition(verts, K)
+    return edges, verts, partitioner.vertex_meta(verts, assign)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_edges(spark, sf_dir):
+    edges, _ = _graph(spark, sf_dir)
+    return edges
+
+
+def q_degree_rank(spark, sf_dir):
+    _, verts = _graph(spark, sf_dir)
+    return verts.select("vid", "degree", "pos")
+
+
+def q_naive_assign(spark, sf_dir):
+    _, _, vmeta = _naive_meta(spark, sf_dir)
+    return vmeta.select("vid", "part")
+
+
+def q_down_assign(spark, sf_dir):
+    from sheep_spark import partitioner
+
+    edges, _, vmeta = _naive_meta(spark, sf_dir)
+    return partitioner.down_assign(edges, vmeta)
+
+
+def q_partition_metrics(spark, sf_dir):
+    from sheep_spark import evaluate
+
+    edges, _, vmeta = _naive_meta(spark, sf_dir)
+    m = evaluate.evaluate(edges, vmeta)
+    cols = [
+        "n_edges", "edges_cut", "vcom_vol", "ecv_down", "ecv_up", "ecv_hash",
+        "down_balance", "up_balance", "hash_balance", "vertex_balance",
+    ]
+    return spark.createDataFrame([tuple(int(m[c]) for c in cols)], ", ".join(f"{c} long" for c in cols))
+
+
+def q_pagerank5(spark, sf_dir):
+    from sheep_spark import analytics
+
+    edges, verts = _graph(spark, sf_dir)
+    ranks, _ = analytics.pagerank(edges, verts, tol=0.0, max_iter=PR_ITERS)
+    return ranks.select("vid", F.round("rank", 10).alias("rank5"))
+
+
+def q_cc(spark, sf_dir):
+    from sheep_spark import analytics
+
+    edges, _ = _graph(spark, sf_dir)
+    sub = edges.where((F.col("src") + F.col("dst")) % CC_MOD == 0)
+    labels, _ = analytics.connected_components(sub)
+    return labels.select("vid", "component")
+
+
+def q_triangles(spark, sf_dir):
+    from sheep_spark import analytics
+
+    edges, verts = _graph(spark, sf_dir)
+    n = analytics.triangle_count(edges, verts)
+    return spark.createDataFrame([(n,)], "n_triangles long")
+
+
+def q_tokens(spark, sf_dir):
+    from sheep_spark import textops
+
+    return textops.token_stats(_docs(spark, sf_dir))
+
+
+def q_quality(spark, sf_dir):
+    from sheep_spark import textops
+
+    return textops.quality_score(_docs(spark, sf_dir))
+
+
+def q_langid(spark, sf_dir):
+    from sheep_spark import textops
+
+    return textops.lang_id(_docs(spark, sf_dir))
+
+
+def q_exact_dedup(spark, sf_dir):
+    from sheep_spark import textops
+
+    return textops.exact_dedup(_docs(spark, sf_dir))
+
+
+def q_fingerprint(spark, sf_dir):
+    from sheep_spark import textops
+
+    return textops.fingerprint(_docs(spark, sf_dir))
+
+
+def q_jaccard(spark, sf_dir):
+    from sheep_spark import textops
+
+    return textops.jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+def q_minhash_lsh(spark, sf_dir):
+    from sheep_spark import textops
+
+    return textops.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+def q_ann(spark, sf_dir):
+    from sheep_spark import ann
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann.cosine_topk(emb, query_ids=[0, 1, 2, 3, 4], k=10)
+
+
+def q_events_rollup(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy(
+        "event_type", F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias("hour")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    flagged = ev.withColumn(
+        "new_session",
+        (
+            F.col("ts").cast("long") - F.coalesce(F.lag(F.col("ts").cast("long")).over(w), F.lit(-10**9))
+            > 1800
+        ).cast("int"),
+    )
+    return flagged.groupBy("user_id").agg(F.sum("new_session").cast("long").alias("n_sessions"))
+
+
+# --- non-SQL-expressible (rows-only checks) --------------------------------
+
+
+def q_elim_tree(spark, sf_dir):
+    from sheep_spark import graph, tree
+
+    edges, verts = _graph(spark, sf_dir)
+    return tree.build_tree(graph.edges_pos(edges, verts), verts.count())
+
+
+def q_sheep_assign(spark, sf_dir):
+    from sheep_spark import graph, partitioner, tree
+
+    edges, verts = _graph(spark, sf_dir)
+    t = tree.build_tree(graph.edges_pos(edges, verts), verts.count())
+    return partitioner.sheep_partition(t, verts, K)
+
+
+def q_sheep_metrics(spark, sf_dir):
+    from sheep_spark import evaluate, graph, partitioner, tree
+
+    edges, verts = _graph(spark, sf_dir)
+    t = tree.build_tree(graph.edges_pos(edges, verts), verts.count())
+    assign = partitioner.sheep_partition(t, verts, K)
+    m = evaluate.evaluate(edges, partitioner.vertex_meta(verts, assign))
+    cols = ["n_edges", "edges_cut", "vcom_vol", "ecv_down", "down_balance", "vertex_balance"]
+    return spark.createDataFrame([tuple(int(m[c]) for c in cols)], ", ".join(f"{c} long" for c in cols))
+
+
+def q_label_prop(spark, sf_dir):
+    from sheep_spark import analytics
+
+    edges, _ = _graph(spark, sf_dir)
+    sub = edges.where((F.col("src") + F.col("dst")) % CC_MOD == 0)
+    labels, _ = analytics.label_propagation(sub, max_iter=3)
+    return labels
+
+
+def q_simhash(spark, sf_dir):
+    from sheep_spark import textops
+
+    return textops.simhash64(_docs(spark, sf_dir))
+
+
+def q_lsh_ann(spark, sf_dir):
+    from sheep_spark import ann
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann.lsh_topk(emb, query_ids=[0, 1, 2, 3, 4], k=10)
+
+
+def q_pages_extract(spark, sf_dir):
+    """Synthetic corpus → byte-identity check inside the query: returns
+    per-page match flag counts (must be all matched)."""
+    from sheep_spark import corpus, extract
+
+    pages = corpus.generate_pages(spark, 500, seed=42)
+    checked = extract.with_extracted_text(pages)
+    return checked.select(
+        (F.col("text") == F.col("extracted_text")).cast("int").alias("match")
+    ).groupBy("match").count()
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full sheep pipeline on sf0.001 → partition-quality row."""
+    return q_sheep_metrics(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "edges_build": q_edges,
+        "degree_rank": q_degree_rank,
+        "naive_assign": q_naive_assign,
+        "down_assign": q_down_assign,
+        "partition_metrics": q_partition_metrics,
+        "pagerank5": q_pagerank5,
+        "connected_components": q_cc,
+        "triangle_count": q_triangles,
+        "token_stats": q_tokens,
+        "quality_score": q_quality,
+        "lang_id": q_langid,
+        "exact_dedup": q_exact_dedup,
+        "fingerprint": q_fingerprint,
+        "jaccard_pairs": q_jaccard,
+        "minhash_lsh_pairs": q_minhash_lsh,
+        "ann_cosine_topk": q_ann,
+        "events_rollup": q_events_rollup,
+        "sessionize": q_sessionize,
+        # rows-only (non-SQL-expressible: union-find / FFD / LSH planes)
+        "elim_tree": q_elim_tree,
+        "sheep_assign": q_sheep_assign,
+        "sheep_partition_metrics": q_sheep_metrics,
+        "label_propagation": q_label_prop,
+        "simhash": q_simhash,
+        "ann_lsh_topk": q_lsh_ann,
+        "pages_extract_identity": q_pages_extract,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_GRAPH_CTE = f"""
+raw AS (
+  SELECT CAST(l_orderkey % {V_MOD} AS BIGINT) AS a,
+         CAST((l_partkey * 31 + l_suppkey * 7) % {V_MOD} AS BIGINT) AS b
+  FROM lineitem
+  WHERE (l_orderkey % {V_MOD}) <> ((l_partkey * 31 + l_suppkey * 7) % {V_MOD})
+),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT a AS src, b AS dst FROM raw
+    UNION ALL
+    SELECT b AS src, a AS dst FROM raw
+  )
+),
+verts AS (SELECT src AS vid, COUNT(*) AS degree FROM edges GROUP BY src),
+seq AS (
+  SELECT vid, degree,
+         CAST(ROW_NUMBER() OVER (ORDER BY degree, vid) - 1 AS BIGINT) AS pos
+  FROM verts
+),
+nv AS (SELECT COUNT(*) AS n FROM seq),
+assign AS (
+  SELECT vid, pos, CAST((pos * {K}) // (SELECT n FROM nv) AS INT) AS part FROM seq
+),
+ej AS (
+  SELECT e.src, e.dst, sa.pos AS pos_a, sa.part AS part_a, sb.pos AS pos_b, sb.part AS part_b
+  FROM edges e JOIN assign sa ON e.src = sa.vid JOIN assign sb ON e.dst = sb.vid
+)
+"""
+
+_TOKS_CTE = r"""
+toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+)
+"""
+
+
+def _pagerank5_sql() -> str:
+    damping = 0.85
+    lines = [
+        "WITH " + _GRAPH_CTE.strip().rstrip(),
+        f""",
+r0 AS (SELECT vid, degree AS deg, 1.0 / (SELECT n FROM nv) AS rank FROM seq)""",
+    ]
+    prev = "r0"
+    for i in range(1, PR_ITERS + 1):
+        lines.append(
+            f""",
+r{i} AS (
+  SELECT e.dst AS vid, COUNT(*) AS deg,
+         (1.0 - {damping}) / (SELECT n FROM nv)
+         + {damping} * SUM(p.rank / p.deg) AS rank
+  FROM edges e JOIN {prev} p ON e.src = p.vid
+  GROUP BY e.dst
+)"""
+        )
+        prev = f"r{i}"
+    lines.append(f"\nSELECT vid, ROUND(rank, 10) AS rank5 FROM {prev}")
+    return "".join(lines)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop_en = "the|and|of|to|a|in|is|it|that|for"
+    stop_de = "der|die|das|und|ist|nicht|ein|mit|auf|sich"
+    stop_fr = "le|la|les|et|est|un|une|des|dans|pour"
+    return {
+        "edges_build": f"WITH {_GRAPH_CTE} SELECT src, dst FROM edges",
+        "degree_rank": f"WITH {_GRAPH_CTE} SELECT vid, degree, pos FROM seq",
+        "naive_assign": f"WITH {_GRAPH_CTE} SELECT vid, part FROM assign",
+        "down_assign": f"""WITH {_GRAPH_CTE}
+            SELECT src, dst,
+                   CASE WHEN pos_a < pos_b THEN part_a ELSE part_b END AS part
+            FROM ej WHERE src < dst""",
+        "partition_metrics": f"""WITH {_GRAPH_CTE},
+            downs AS (SELECT src, CASE WHEN pos_a < pos_b THEN part_a ELSE part_b END AS p FROM ej),
+            ups   AS (SELECT src, CASE WHEN pos_a > pos_b THEN part_a ELSE part_b END AS p FROM ej),
+            hashs AS (SELECT src, dst,
+                      CASE WHEN (src * 2654435769) % 4294967296 < (dst * 2654435769) % 4294967296
+                           THEN part_a ELSE part_b END AS p FROM ej),
+            vcom  AS (SELECT src, part_b AS p FROM ej UNION ALL SELECT src, part_a FROM ej)
+            SELECT
+              (SELECT CAST(COUNT(*) // 2 AS BIGINT) FROM edges) AS n_edges,
+              (SELECT COUNT(*) FROM ej WHERE src < dst AND part_a <> part_b) AS edges_cut,
+              (SELECT CAST(SUM(c - 1) AS BIGINT) FROM (SELECT src, COUNT(DISTINCT p) AS c FROM vcom GROUP BY src)) AS vcom_vol,
+              (SELECT CAST(SUM(c - 1) AS BIGINT) FROM (SELECT src, COUNT(DISTINCT p) AS c FROM downs GROUP BY src)) AS ecv_down,
+              (SELECT CAST(SUM(c - 1) AS BIGINT) FROM (SELECT src, COUNT(DISTINCT p) AS c FROM ups GROUP BY src)) AS ecv_up,
+              (SELECT CAST(SUM(c - 1) AS BIGINT) FROM (SELECT src, COUNT(DISTINCT p) AS c FROM hashs GROUP BY src)) AS ecv_hash,
+              (SELECT MAX(c) FROM (SELECT part_a, COUNT(*) AS c FROM ej WHERE pos_a < pos_b GROUP BY part_a)) AS down_balance,
+              (SELECT MAX(c) FROM (SELECT part_a, COUNT(*) AS c FROM ej WHERE pos_a > pos_b GROUP BY part_a)) AS up_balance,
+              (SELECT MAX(c) FROM (SELECT p, COUNT(*) AS c FROM hashs WHERE src < dst GROUP BY p)) AS hash_balance,
+              (SELECT MAX(c) FROM (SELECT part, COUNT(*) AS c FROM assign GROUP BY part)) AS vertex_balance""",
+        "pagerank5": _pagerank5_sql(),
+        "connected_components": f"""WITH RECURSIVE {_GRAPH_CTE},
+            sub AS (SELECT src, dst FROM edges WHERE (src + dst) % {CC_MOD} = 0),
+            reach(vid, r) AS (
+              SELECT src, src FROM sub
+              UNION
+              SELECT s.dst, reach.r FROM reach JOIN sub s ON s.src = reach.vid
+            )
+            SELECT vid, MIN(r) AS component FROM reach GROUP BY vid""",
+        "triangle_count": f"""WITH {_GRAPH_CTE},
+            o AS (SELECT CASE WHEN pos_a < pos_b THEN pos_a ELSE pos_b END AS a,
+                         CASE WHEN pos_a < pos_b THEN pos_b ELSE pos_a END AS b
+                  FROM ej WHERE src < dst)
+            SELECT COUNT(*) AS n_triangles
+            FROM o e1 JOIN o e2 ON e2.a = e1.b JOIN o e3 ON e3.a = e1.a AND e3.b = e2.b""",
+        "token_stats": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars_text,
+                   CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_distinct_tokens
+            FROM documents""",
+        "quality_score": rf"""
+            SELECT doc_id,
+                   ROUND(CAST(len(regexp_extract_all(lower(text), '\b({stop_en})\b')) AS DOUBLE)
+                         / len(regexp_split_to_array(trim(text), '\s+')), 6) AS stopword_ratio,
+                   ROUND(CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+                         / length(text), 6) AS punct_ratio,
+                   ROUND(CAST(length(text) AS DOUBLE)
+                         / len(regexp_split_to_array(trim(text), '\s+')), 6) AS mean_token_len
+            FROM documents""",
+        "lang_id": rf"""
+            SELECT doc_id, lang,
+                   CASE WHEN en >= de AND en >= fr THEN 'en'
+                        WHEN de >= fr THEN 'de'
+                        ELSE 'fr' END AS lang_guess
+            FROM (
+              SELECT doc_id, lang,
+                     len(regexp_extract_all(lower(text), '\b({stop_en})\b')) AS en,
+                     len(regexp_extract_all(lower(text), '\b({stop_de})\b')) AS de,
+                     len(regexp_extract_all(lower(text), '\b({stop_fr})\b')) AS fr
+              FROM documents)""",
+        "exact_dedup": r"""
+            SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_md5,
+                   MIN(doc_id) AS keeper_doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_copies
+            FROM documents GROUP BY 1""",
+        "fingerprint": r"""
+            SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+            FROM documents""",
+        "jaccard_pairs": f"""WITH {_TOKS_CTE},
+            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+            inter AS (
+              SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, CAST(COUNT(*) AS DOUBLE) AS i
+              FROM toks x JOIN toks y ON x.tok = y.tok AND x.doc_id < y.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   ROUND(i / (sa.sz + sb.sz - i), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE ROUND(i / (sa.sz + sb.sz - i), 6) >= 0.5""",
+        "minhash_lsh_pairs": f"""WITH {_TOKS_CTE},
+            sig AS (
+              SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || ' ' || tok)) AS minhash
+              FROM toks, (SELECT unnest(range(16)) AS seed)
+              GROUP BY doc_id, seed
+            ),
+            bk AS (
+              SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+                     md5(string_agg(CAST(seed AS VARCHAR) || ':' || minhash, '|'
+                         ORDER BY CAST(seed AS VARCHAR) || ':' || minhash)) AS bkey
+              FROM sig GROUP BY doc_id, band
+            ),
+            cand AS (
+              SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+              FROM bk x JOIN bk y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+            ),
+            agree AS (
+              SELECT c.doc_a, c.doc_b,
+                     ROUND(SUM(CASE WHEN a.minhash = b.minhash THEN 1 ELSE 0 END) / 16.0, 6) AS est_jaccard
+              FROM cand c
+              JOIN sig a ON a.doc_id = c.doc_a
+              JOIN sig b ON b.doc_id = c.doc_b AND b.seed = a.seed
+              GROUP BY 1, 2
+            )
+            SELECT * FROM agree WHERE est_jaccard >= 0.5""",
+        "ann_cosine_topk": """
+            WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     ROUND(list_cosine_similarity(q.e, c.e), 6) AS cosine
+              FROM emb q JOIN emb c ON c.vec_id NOT IN (0,1,2,3,4)
+              WHERE q.vec_id IN (0,1,2,3,4)
+            ),
+            ranked AS (
+              SELECT query_id, neighbor_id, cosine,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+              FROM scored
+            )
+            SELECT * FROM ranked WHERE rank <= 10""",
+        "events_rollup": """
+            SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+                   COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
+            FROM events GROUP BY 1, 2""",
+        "sessionize": """
+            SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions FROM (
+              SELECT user_id,
+                     CASE WHEN epoch(ts) - COALESCE(epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)), -1000000000) > 1800
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events)
+            GROUP BY user_id""",
+    }

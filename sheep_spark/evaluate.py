@@ -1,0 +1,156 @@
+"""Partition-quality evaluators — sheep's exhaustive metric suite
+(lib/partition.cpp:428-521) as DataFrame aggregations.
+
+All metrics share one physical shape: join the symmetrized edge table to
+per-vertex (pos, part) on both endpoints, derive an owner part per edge,
+then a two-stage distinct-count per vertex. The two-stage form
+(distinct pairs → count per vertex) keeps hub vertices skew-safe: the
+heavy groupBy key only ever carries ≤ #parts rows after the first
+partial aggregation.
+
+Metrics (names match the reference's printout):
+- edges_cut  : undirected edges with endpoints in different parts (:452)
+- vcom_vol   : Σ_X |{X's part} ∪ {parts of X's neighbors}| − 1 (:444-460)
+- ecv_hash   : edge owned by endpoint with smaller cormen_hash (:455, :423-427)
+- ecv_down   : edge owned by lower-pos endpoint (:505) — the headline metric
+- ecv_up     : mirror (:506)
+- *_balance  : max per-part load for each ownership rule (:436-441, :507-508)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# cormen multiplicative hash (partition.cpp:423-427): k * floor((sqrt(5)-1)/2 * 2^32) mod 2^32
+_CORMEN_S = 2654435769
+
+
+def _cormen(col):
+    return F.pmod(col * F.lit(_CORMEN_S), F.lit(2**32))
+
+
+def joined_edges(edges_sym: DataFrame, vmeta: DataFrame, broadcast_meta: bool = True) -> DataFrame:
+    """Symmetrized edges annotated with (pos, part) of both endpoints."""
+    v = F.broadcast(vmeta) if broadcast_meta else vmeta
+    a = v.select(F.col("vid").alias("src"), F.col("pos").alias("pos_a"), F.col("part").alias("part_a"))
+    b = v.select(F.col("vid").alias("dst"), F.col("pos").alias("pos_b"), F.col("part").alias("part_b"))
+    return edges_sym.join(a, "src").join(b, "dst")
+
+
+def _sum_distinct_minus_one(pairs: DataFrame, key: str, val: str) -> int:
+    """Σ_key (count distinct val) − 1 — computed as distinct-then-count so
+    partial aggregation absorbs hub skew before the shuffle."""
+    per = pairs.select(key, val).distinct().groupBy(key).agg((F.count("*") - 1).alias("c"))
+    row = per.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("s")).collect()[0]
+    return int(row["s"])
+
+
+def evaluate(edges_sym: DataFrame, vmeta: DataFrame, broadcast_meta: bool = True) -> dict:
+    """Full metric dict; one cached edge-join reused by every aggregate."""
+    j = joined_edges(edges_sym, vmeta, broadcast_meta).persist()
+    try:
+        n_edges = j.count() // 2  # undirected edge count (table is doubled)
+
+        edges_cut = j.where((F.col("src") < F.col("dst")) & (F.col("part_a") != F.col("part_b"))).count()
+
+        vcom_pairs = j.select("src", F.col("part_b").alias("p")).unionAll(
+            j.select("src", F.col("part_a").alias("p"))
+        )
+        vcom_vol = _sum_distinct_minus_one(vcom_pairs, "src", "p")
+
+        down_owner = F.when(F.col("pos_a") < F.col("pos_b"), F.col("part_a")).otherwise(F.col("part_b"))
+        up_owner = F.when(F.col("pos_a") > F.col("pos_b"), F.col("part_a")).otherwise(F.col("part_b"))
+        hash_owner = F.when(_cormen(F.col("src")) < _cormen(F.col("dst")), F.col("part_a")).otherwise(
+            F.col("part_b")
+        )
+
+        ecv_down = _sum_distinct_minus_one(j.select("src", down_owner.alias("p")), "src", "p")
+        ecv_up = _sum_distinct_minus_one(j.select("src", up_owner.alias("p")), "src", "p")
+        ecv_hash = _sum_distinct_minus_one(j.select("src", hash_owner.alias("p")), "src", "p")
+
+        def max_load(owner_col, cond) -> int:
+            loads = j.where(cond).groupBy(owner_col.alias("part")).count()
+            row = loads.agg(F.coalesce(F.max("count"), F.lit(0)).alias("m")).collect()[0]
+            return int(row["m"])
+
+        down_balance = max_load(down_owner, F.col("pos_a") < F.col("pos_b"))
+        up_balance = max_load(up_owner, F.col("pos_a") > F.col("pos_b"))
+        hash_balance = max_load(hash_owner, F.col("src") < F.col("dst"))
+
+        vb = vmeta.groupBy("part").count().agg(F.max("count").alias("m")).collect()[0]
+        vertex_balance = int(vb["m"])
+
+        return {
+            "n_edges": n_edges,
+            "edges_cut": edges_cut,
+            "vcom_vol": vcom_vol,
+            "ecv_down": ecv_down,
+            "ecv_up": ecv_up,
+            "ecv_hash": ecv_hash,
+            "down_balance": down_balance,
+            "up_balance": up_balance,
+            "hash_balance": hash_balance,
+            "vertex_balance": vertex_balance,
+            "ecv_down_per_edge": ecv_down / max(n_edges, 1),
+        }
+    finally:
+        j.unpersist()
+
+
+def evaluate_oracle(edges: list[tuple[int, int]], pos: dict[int, int], part: dict[int, int]) -> dict:
+    """Pure-python port of the evaluator semantics (partition.cpp:428-521)
+    for tests: exact, per the reference's nested-loop definition."""
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    def cormen(k: int) -> int:
+        return (k * _CORMEN_S) % 2**32
+
+    edges_cut = vcom = ecv_down = ecv_up = ecv_hash = 0
+    down_bal: dict[int, int] = {}
+    up_bal: dict[int, int] = {}
+    hash_bal: dict[int, int] = {}
+    vert_bal: dict[int, int] = {}
+    n_edges = sum(len(s) for s in adj.values()) // 2
+    for x, nbrs in adj.items():
+        vert_bal[part[x]] = vert_bal.get(part[x], 0) + 1
+        vset = {part[x]}
+        dset, uset, hset = set(), set(), set()
+        for y in nbrs:
+            if x < y and part[x] != part[y]:
+                edges_cut += 1
+            vset.add(part[y])
+            d = part[x] if pos[x] < pos[y] else part[y]
+            u = part[x] if pos[x] > pos[y] else part[y]
+            h = part[x] if cormen(x) < cormen(y) else part[y]
+            dset.add(d)
+            uset.add(u)
+            hset.add(h)
+            if pos[x] < pos[y]:
+                down_bal[part[x]] = down_bal.get(part[x], 0) + 1
+            if pos[x] > pos[y]:
+                up_bal[part[x]] = up_bal.get(part[x], 0) + 1
+            if x < y:
+                hash_bal[h] = hash_bal.get(h, 0) + 1
+        vcom += len(vset) - 1
+        ecv_down += len(dset) - 1
+        ecv_up += len(uset) - 1
+        ecv_hash += len(hset) - 1
+    return {
+        "n_edges": n_edges,
+        "edges_cut": edges_cut,
+        "vcom_vol": vcom,
+        "ecv_down": ecv_down,
+        "ecv_up": ecv_up,
+        "ecv_hash": ecv_hash,
+        "down_balance": max(down_bal.values(), default=0),
+        "up_balance": max(up_bal.values(), default=0),
+        "hash_balance": max(hash_bal.values(), default=0),
+        "vertex_balance": max(vert_bal.values(), default=0),
+        "ecv_down_per_edge": ecv_down / max(n_edges, 1),
+    }

@@ -1,0 +1,127 @@
+"""Edge-table and vertex-sequence construction.
+
+Semantics mirror the reference engine (dmargo/sheep):
+
+- undirected graphs are stored *doubled* — both (u,v) and (v,u) rows
+  (graph_wrapper.h:50-51, ``LL_L_UNDIRECTED_DOUBLE``);
+- self loops are ignored (jtree.cpp:48-49);
+- duplicate edges are removed (dedup toggle, defs.h:40-43 — our engine
+  always dedups: the graph is a simple graph);
+- the canonical vertex order ("sequence") is **degree-ascending with
+  vid tie-break** (sequence.h:52-63). ``pos`` is the 0-based rank in that
+  order and equals sheep's ``jnid``.
+
+Scale notes
+-----------
+``attach_rank`` computes a global dense rank without collapsing to a
+single partition: range-repartition on the sort key, count rows per
+partition (one tiny job), then rank within partitions and add broadcast
+offsets. This is the distributed equivalent of sheep's parallel sort
+(sequence.h:55) and works at 10^9+ vertices, unlike a bare
+``row_number() OVER (ORDER BY ...)`` which serializes on one task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# Canonical derived test graph over the TPC-H-ish sandbox tables: a
+# deterministic pseudo-random multigraph folded to V_MOD vertices. It has
+# hubs, triangles, and several components — and is expressible in ANSI SQL
+# so the DuckDB oracle can reproduce it exactly.
+V_MOD = 4999
+
+
+def symmetrize(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Double, drop self loops, dedup → the engine's canonical edge table.
+
+    Input may be directed/unsymmetrized; output contains both directions
+    of every undirected edge exactly once.
+    """
+    fwd = edges.select(F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst"))
+    rev = edges.select(F.col(dst).cast("long").alias("src"), F.col(src).cast("long").alias("dst"))
+    return fwd.unionAll(rev).where(F.col("src") != F.col("dst")).distinct()
+
+
+def attach_rank(df: DataFrame, order_cols: list[str], out: str = "pos") -> DataFrame:
+    """Dense 0-based global rank over ``order_cols`` (must be a total order).
+
+    Distributed two-phase ranking: range partition → per-partition
+    row_number → add per-partition offsets (broadcast map). No global
+    single-partition window.
+    """
+    n_part = max(df.sparkSession.sparkContext.defaultParallelism, 4)
+    ranged = df.repartitionByRange(n_part, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    ranged = ranged.persist()
+    counts = {r["_pid"]: r["cnt"] for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    if not counts:  # empty input → empty output with the rank column typed
+        return ranged.withColumn(out, F.lit(None).cast("long")).drop("_pid")
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_expr = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    w = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
+    out_df = ranged.withColumn(
+        out,
+        (F.row_number().over(w) - 1 + off_expr[F.col("_pid")]).cast("long"),
+    ).drop("_pid")
+    return out_df
+
+
+def vertices_from_edges(edges_sym: DataFrame) -> DataFrame:
+    """``vertices(vid, degree, pos)`` — sheep's degreeSequence (sequence.h:52-63).
+
+    degree = #distinct neighbors (the edge table is symmetrized + deduped,
+    so grouping on ``src`` counts each incident undirected edge once).
+    pos    = rank under (degree asc, vid asc); pos == sheep's jnid.
+    Zero-degree vertices never appear (graph_wrapper.h:61-62 skips them).
+    """
+    deg = edges_sym.groupBy(F.col("src").alias("vid")).agg(F.count("*").alias("degree"))
+    return attach_rank(deg, ["degree", "vid"], out="pos")
+
+
+def edges_pos(edges_sym: DataFrame, vertices: DataFrame) -> DataFrame:
+    """Each undirected edge once, in sequence space: (lo, hi) with lo < hi
+    being the endpoint *positions*. This is the input to the tree builder
+    and the down-assignment rule (partition.cpp:505, :623).
+
+    The vertex table is broadcast when small; at 10^9-vertex scale remove
+    the hint and let sort-merge/shuffle-hash join co-partition on vid.
+    """
+    v = vertices.select("vid", "pos")
+    once = edges_sym.where(F.col("src") < F.col("dst"))
+    j = (
+        once.join(F.broadcast(v).withColumnRenamed("vid", "src").withColumnRenamed("pos", "pos_src"), "src")
+        .join(F.broadcast(v).withColumnRenamed("vid", "dst").withColumnRenamed("pos", "pos_dst"), "dst")
+    )
+    return j.select(
+        F.least("pos_src", "pos_dst").alias("lo"),
+        F.greatest("pos_src", "pos_dst").alias("hi"),
+    )
+
+
+def edges_from_tpch(spark: SparkSession, sf_dir: str, v_mod: int = V_MOD) -> DataFrame:
+    """Deterministic synthetic link graph derived from ``lineitem``.
+
+    src = l_orderkey mod v_mod, dst = (31*l_partkey + 7*l_suppkey) mod v_mod.
+    Matches the DuckDB oracle SQL in ``__spark_entry__.oracle_sql``.
+    """
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    raw = li.select(
+        (F.col("l_orderkey") % v_mod).cast("long").alias("a"),
+        ((F.col("l_partkey") * 31 + F.col("l_suppkey") * 7) % v_mod).cast("long").alias("b"),
+    ).where(F.col("a") != F.col("b"))
+    return symmetrize(raw, "a", "b")
+
+
+def graph_from_tpch(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(edges_sym, vertices) for the canonical sandbox graph, cached."""
+    edges = edges_from_tpch(spark, sf_dir).persist()
+    verts = vertices_from_edges(edges).persist()
+    return edges, verts

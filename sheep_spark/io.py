@@ -1,0 +1,84 @@
+"""Edge-list sources/sinks matching the reference's on-disk formats.
+
+- SNAP text (.net): whitespace-separated "X Y" per line
+  (lib/readerwriter.h:78-102) → csv reader/writer.
+- XS1 / Graph500 binary (.dat): packed little-endian records
+  {uint32 tail, uint32 head, float32 weight} (lib/readerwriter.h:36-76)
+  → ``binaryFile`` source + numpy frombuffer in an Arrow kernel. Used to
+  load the reference's own test graph data/hep-th.dat.
+
+Both return *raw directed* pairs; pass through graph.symmetrize for the
+engine's canonical form.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+XS1_DTYPE = np.dtype([("tail", "<u4"), ("head", "<u4"), ("weight", "<f4")])
+
+
+def read_snap(spark: SparkSession, path: str) -> DataFrame:
+    df = (
+        spark.read.option("comment", "#")
+        .option("delimiter", " ")
+        .schema("src long, dst long")
+        .csv(path)
+    )
+    return df.where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+
+
+def write_snap(edges: DataFrame, path: str) -> None:
+    edges.select(
+        F.concat_ws(" ", F.col("src").cast("string"), F.col("dst").cast("string")).alias("line")
+    ).write.mode("overwrite").text(path)
+
+
+def read_xs1(spark: SparkSession, path: str) -> DataFrame:
+    """XS1 binary scan. Each file lands as one Arrow row whose content is
+    sliced zero-copy into (src, dst) columns; splittability at scale comes
+    from sharded .dat files (the reference's partial-load -l n/k maps to
+    one shard per task)."""
+    raw = spark.read.format("binaryFile").load(path).select("content")
+
+    def decode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            for buf in b.column(0).to_pylist():
+                rec = np.frombuffer(buf, dtype=XS1_DTYPE)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(rec["tail"].astype(np.int64)),
+                        pa.array(rec["head"].astype(np.int64)),
+                    ],
+                    names=["src", "dst"],
+                )
+
+    return raw.mapInArrow(decode, "src long, dst long")
+
+
+def write_xs1(edges: DataFrame, path: str) -> None:
+    """Single-file XS1 sink (test-scale; the scale sink is the
+    parquet/partitionBy path in partitioner.write_partitioned)."""
+    pdf = edges.select("src", "dst").toPandas()
+    rec = np.empty(len(pdf), dtype=XS1_DTYPE)
+    rec["tail"] = pdf["src"].to_numpy()
+    rec["head"] = pdf["dst"].to_numpy()
+    rec["weight"] = 0.0
+    with open(path, "wb") as f:
+        f.write(rec.tobytes())
+
+
+def read_partition_vector(spark: SparkSession, path: str) -> DataFrame:
+    """Partition-vector file: one part id per line, jnid-indexed
+    (lib/partition.h:116-123) → (pos, part)."""
+    from .graph import attach_rank  # local import to avoid cycle
+
+    lines = spark.read.text(path).select(F.col("value").cast("int").alias("part"))
+    lines = lines.withColumn("_one", F.lit(1))
+    ranked = attach_rank(lines.withColumn("rid", F.monotonically_increasing_id()), ["rid"], out="pos")
+    return ranked.select("pos", "part")

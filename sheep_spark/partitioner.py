@@ -1,0 +1,192 @@
+"""Tree partitioning + edge routing.
+
+- ``forward_partition``: exact semantics of sheep's default partitioner
+  (lib/partition.cpp:86-157, the paper's method): one ascending pass
+  accumulating subtree weight; when a component exceeds
+  ``max_component = (total_weight // k) * balance_factor``
+  (partition.cpp:54-57, truncated to int), first-fit-decreasing bin-pack
+  the children's components; then push labels down the tree and pack
+  roots last-fit (partition.cpp:140-156). Node weight defaults to
+  pst_weight only (partition.h:51-52 defaults → edge-balanced parts).
+
+  Like the reference, this runs serially on rank-0/driver
+  (graph2tree.cpp:205-208): the tree is O(V) longs, tiny next to the
+  edge table; the bound is documented in tree.py.
+
+- ``naive_partition`` / ``random_partition``: cheap baselines
+  (partition.cpp:253-275) as pure column expressions.
+
+- ``down_assign``: THE shuffle-routing rule — an edge belongs to the part
+  of its earlier-in-sequence endpoint (partition.cpp:623, :505). With a
+  degree-ascending sequence this bounds each part's replication set,
+  which is exactly what makes the downstream analytics shuffle-light.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def forward_partition(
+    parent: np.ndarray,
+    weight: np.ndarray,
+    num_parts: int,
+    balance_factor: float = 1.03,
+) -> tuple[np.ndarray, int]:
+    """FFD tree packing. ``parent`` is jnid-indexed (-1 = root), ``weight``
+    the per-node weight (default callers pass pst_weight). Returns
+    (parts array jnid-indexed, max_component).
+
+    May open more than ``num_parts`` bins, exactly like the reference
+    (partition.cpp:128-130; Partition::print reports "actually created").
+    """
+    n = len(parent)
+    total = int(weight.sum())
+    max_component = int((total // num_parts) * balance_factor)
+    parts = np.full(n, -1, dtype=np.int64)
+    component_below = weight.astype(np.int64).copy()
+
+    kids: list[list[int]] = [[] for _ in range(n)]
+    for j in range(n):
+        p = parent[j]
+        if p >= 0:
+            kids[p].append(j)
+
+    part_size: list[int] = []
+    for j in range(n):
+        if component_below[j] > max_component:
+            ks = sorted(kids[j], key=lambda k: -component_below[k])
+            while component_below[j] > max_component:
+                before = component_below[j]
+                for kid in ks:
+                    if component_below[j] <= max_component:
+                        break
+                    if parts[kid] != -1:
+                        continue
+                    for cur in range(len(part_size)):
+                        if part_size[cur] + component_below[kid] <= max_component:
+                            component_below[j] -= component_below[kid]
+                            part_size[cur] += int(component_below[kid])
+                            parts[kid] = cur
+                            break
+                if component_below[j] > max_component:
+                    # Guard against the reference's latent infinite loop
+                    # (partition.cpp:109-131): when E/k < a node's own
+                    # pst_weight, no amount of bin-opening shrinks the
+                    # component. If a full pass made no progress even with
+                    # an empty bin available, accept the oversize component
+                    # (it flows upward and is placed by push-down/root
+                    # packing).
+                    if before == component_below[j] and part_size and part_size[-1] == 0:
+                        break
+                    part_size.append(0)
+        p = parent[j]
+        if p >= 0:
+            component_below[p] += component_below[j]
+
+    # Push labels down to uncut vertices; pack roots last-fit
+    # (partition.cpp:140-156).
+    for j in range(n - 1, -1, -1):
+        if parts[j] == -1 and parent[j] >= 0:
+            parts[j] = parts[parent[j]]
+        if parts[j] == -1 and component_below[j] > max_component:
+            # oversize root (see guard above): fresh bin, unconditionally
+            part_size.append(int(component_below[j]))
+            parts[j] = len(part_size) - 1
+        while parts[j] == -1:
+            for cur in range(len(part_size) - 1, -1, -1):
+                if part_size[cur] + component_below[j] <= max_component:
+                    part_size[cur] += int(component_below[j])
+                    parts[j] = cur
+                    break
+            if parts[j] == -1:
+                part_size.append(0)
+    return parts, max_component
+
+
+def tree_to_arrays(tree_df: DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """Collect tree(jnid,parent,pst_weight) into jnid-indexed numpy arrays
+    via Arrow (driver-side, O(V) — same centralization as sheep rank 0)."""
+    pdf = tree_df.select("jnid", "parent", "pst_weight").toPandas()
+    n = len(pdf)
+    parent = np.full(n, -1, dtype=np.int64)
+    weight = np.zeros(n, dtype=np.int64)
+    jn = pdf["jnid"].to_numpy()
+    par = pdf["parent"].to_numpy()
+    mask = ~np.isnan(par.astype("float64"))
+    parent[jn[mask]] = par[mask].astype(np.int64)
+    weight[jn] = pdf["pst_weight"].to_numpy().astype(np.int64)
+    return parent, weight
+
+
+def sheep_partition(tree_df: DataFrame, vertices: DataFrame, num_parts: int,
+                    balance_factor: float = 1.03) -> DataFrame:
+    """End-to-end: tree DF → FFD pack on driver → ``assign(vid, part)``.
+
+    jnid→vid re-index mirrors partition.cpp:62-66 (jnid == pos)."""
+    spark = tree_df.sparkSession
+    parent, weight = tree_to_arrays(tree_df)
+    parts, _ = forward_partition(parent, weight, num_parts, balance_factor)
+    assign = spark.createDataFrame(
+        [(int(j), int(p)) for j, p in enumerate(parts)], "pos long, part int"
+    )
+    return vertices.select("vid", "pos").join(F.broadcast(assign), "pos").select("vid", "part")
+
+
+def naive_partition(vertices: DataFrame, num_parts: int) -> DataFrame:
+    """Contiguous pos-range chunks (the degenerate baseline,
+    partition.cpp:253-266 spirit): part = pos*k div V."""
+    n = vertices.count()
+    return vertices.select(
+        "vid",
+        F.expr(f"CAST((pos * {num_parts}) DIV {n} AS INT)").alias("part"),
+    )
+
+
+def random_partition(vertices: DataFrame, num_parts: int, seed: int = 42) -> DataFrame:
+    """Uniform random baseline (partition.cpp:268-275), deterministic seed."""
+    return vertices.select(
+        "vid", (F.floor(F.rand(seed) * num_parts)).cast("int").alias("part")
+    )
+
+
+def vertex_meta(vertices: DataFrame, assign: DataFrame) -> DataFrame:
+    """vmeta(vid, pos, part) — the broadcastable per-vertex state
+    (sheep's mpi_sync broadcast of the parts vector, partition.cpp:69-79)."""
+    return vertices.select("vid", "pos").join(assign, "vid")
+
+
+def down_assign(edges_sym: DataFrame, vmeta: DataFrame, broadcast_meta: bool = True) -> DataFrame:
+    """``edge_parts(src, dst, part)`` — each undirected edge exactly once
+    (src < dst by vid, partition.cpp:615-617), owned by the part of its
+    lower-pos endpoint (partition.cpp:623)."""
+    v = F.broadcast(vmeta) if broadcast_meta else vmeta
+    a = v.select(F.col("vid").alias("src"), F.col("pos").alias("pos_a"), F.col("part").alias("part_a"))
+    b = v.select(F.col("vid").alias("dst"), F.col("pos").alias("pos_b"), F.col("part").alias("part_b"))
+    once = edges_sym.where(F.col("src") < F.col("dst"))
+    return (
+        once.join(a, "src").join(b, "dst")
+        .select(
+            "src",
+            "dst",
+            F.when(F.col("pos_a") < F.col("pos_b"), F.col("part_a"))
+            .otherwise(F.col("part_b"))
+            .alias("part"),
+        )
+    )
+
+
+def write_partitioned(edge_parts: DataFrame, path: str) -> None:
+    """Partitioned-edge sink: one directory per part
+    (writePartitionedGraph, partition.cpp:588-630 → write.partitionBy)."""
+    edge_parts.write.mode("overwrite").partitionBy("part").parquet(path)
+
+
+def isomorphic_ids(vmeta: DataFrame) -> DataFrame:
+    """Relabel vids contiguously by (part, pos) stable order —
+    writeIsomorphicGraph (partition.cpp:528-586)."""
+    from .graph import attach_rank
+
+    return attach_rank(vmeta, ["part", "pos"], out="new_vid").select("vid", "new_vid")

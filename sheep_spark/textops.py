@@ -1,0 +1,198 @@
+"""Training-data pipeline text operators over a ``documents`` table
+(doc_id, text, lang, source, ...).
+
+Every operator is defined by *pure deterministic expressions* available
+identically in Spark SQL and ANSI/DuckDB SQL (md5, regexp_*), so the
+DuckDB oracle reproduces results bit-for-bit — including the MinHash-LSH
+candidate generation, whose hash family is
+``md5(seed || ' ' || shingle)`` (lexicographic min over hex strings).
+
+Everything stays JVM-side (built-in functions, whole-stage codegen); no
+Python UDFs anywhere.
+
+Scale notes: exact dedup is a hash aggregation on md5(text) (map-side
+partial agg absorbs duplicates); MinHash explodes docs × MINHASH_K
+shingle-hash rows — at 10^12 docs you band the signature matrix
+(LSH_BANDS buckets) and self-join per band, which is what
+``minhash_lsh_pairs`` does; the candidate join is shuffle-partitioned by
+(band, band hash) so no single reducer sees more than one bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS_EN = "the|and|of|to|a|in|is|it|that|for"
+STOPWORDS_DE = "der|die|das|und|ist|nicht|ein|mit|auf|sich"
+STOPWORDS_FR = "le|la|les|et|est|un|une|des|dans|pour"
+
+MINHASH_K = 16  # signature length
+LSH_BANDS = 4  # bands of MINHASH_K // LSH_BANDS rows each
+
+
+def normalized_text(col):
+    """Whitespace-collapsed lowercase text — the fingerprint input."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def fingerprint(documents: DataFrame) -> DataFrame:
+    """Document fingerprint = md5 of normalized text (rolling-hash class)."""
+    return documents.select(
+        "doc_id", F.md5(normalized_text(F.col("text"))).alias("fingerprint")
+    )
+
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """Exact dedup groups: one row per distinct normalized text with the
+    keeper (min doc_id) and the duplicate count."""
+    return (
+        documents.select("doc_id", F.md5(normalized_text(F.col("text"))).alias("text_md5"))
+        .groupBy("text_md5")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").cast("long").alias("n_copies"))
+    )
+
+
+def token_stats(documents: DataFrame) -> DataFrame:
+    """Whitespace token count + char counts per doc."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return documents.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.length(F.col("text")).cast("long").alias("n_chars_text"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+    )
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Heuristic quality features: stopword ratio, punctuation ratio,
+    mean token length — rounded to 6 decimals for engine-stable floats."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_tok = F.size(toks).cast("double")
+    stop_hits = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(rf"\b({STOPWORDS_EN})\b"), F.lit(0))
+    ).cast("double")
+    punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.,;:!?]"), F.lit(0))).cast("double")
+    chars = F.length(F.col("text")).cast("double")
+    return documents.select(
+        "doc_id",
+        F.round(stop_hits / n_tok, 6).alias("stopword_ratio"),
+        F.round(punct / chars, 6).alias("punct_ratio"),
+        F.round(chars / n_tok, 6).alias("mean_token_len"),
+    )
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Stopword-ballot language id over {en, de, fr}: pick the language
+    with the most stopword hits; ties broken en > de > fr (deterministic)."""
+    low = F.lower(F.col("text"))
+    en = F.size(F.regexp_extract_all(low, F.lit(rf"\b({STOPWORDS_EN})\b"), F.lit(0)))
+    de = F.size(F.regexp_extract_all(low, F.lit(rf"\b({STOPWORDS_DE})\b"), F.lit(0)))
+    fr = F.size(F.regexp_extract_all(low, F.lit(rf"\b({STOPWORDS_FR})\b"), F.lit(0)))
+    guess = (
+        F.when((en >= de) & (en >= fr), F.lit("en"))
+        .when(de >= fr, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    return documents.select("doc_id", "lang", guess.alias("lang_guess"))
+
+
+def _doc_tokens(documents: DataFrame) -> DataFrame:
+    """(doc_id, tok) distinct word-shingles (unigram token sets)."""
+    return documents.select(
+        "doc_id", F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok")
+    ).distinct()
+
+
+def jaccard_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Exact token-set Jaccard near-duplicate pairs (doc_a < doc_b,
+    jaccard ≥ threshold). The candidate join goes through shared tokens
+    with map-side distinct; at web scale prefilter with minhash_lsh_pairs
+    and use this as the verify step on candidates only."""
+    toks = _doc_tokens(documents).persist()
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        toks.alias("x")
+        .join(toks.alias("y"), "tok")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .agg(F.count("*").cast("double").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sa"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sb"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("inter") / (F.col("sa") + F.col("sb") - F.col("inter")), 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+def minhash_signatures(documents: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """(doc_id, seed, minhash): k-permutation MinHash over word shingles;
+    permutation i = lexicographic order of md5(i || ' ' || token)."""
+    toks = _doc_tokens(documents)
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("seed")
+    hashed = toks.select("doc_id", seeds, "tok").select(
+        "doc_id",
+        "seed",
+        F.md5(F.concat_ws(" ", F.col("seed").cast("string"), F.col("tok"))).alias("h"),
+    )
+    return hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("minhash"))
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame, k: int = MINHASH_K, bands: int = LSH_BANDS, threshold: float = 0.5
+) -> DataFrame:
+    """MinHash-LSH near-dup candidates with estimated Jaccard.
+
+    Banding: signature split into ``bands`` bands of k/bands rows; docs
+    sharing any full band collide. For each colliding pair (doc_a <
+    doc_b) the estimate = fraction of the k minhashes that agree.
+    Deterministic end to end (md5 family)."""
+    sig = minhash_signatures(documents, k).persist()
+    rows_per_band = k // bands
+    banded = sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+    band_key = banded.groupBy("doc_id", "band").agg(
+        F.md5(F.concat_ws("|", F.sort_array(F.collect_list(F.concat_ws(":", F.col("seed").cast("string"), F.col("minhash")))))).alias("bkey")
+    )
+    cand = (
+        band_key.alias("x")
+        .join(band_key.alias("y"), ["band", "bkey"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    agree = (
+        cand.join(sig.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("minhash", "ma"), "doc_a")
+        .join(
+            sig.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("minhash", "mb"),
+            ["doc_b", "seed"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.round(F.sum((F.col("ma") == F.col("mb")).cast("int")) / F.lit(float(k)), 6).alias("est_jaccard"))
+    )
+    return agree.where(F.col("est_jaccard") >= threshold)
+
+
+def simhash64(documents: DataFrame) -> DataFrame:
+    """64-bit SimHash over word shingles: bit b of the hash of each token
+    votes ±1; sign of the tally sets bit b. Token hash = first 16 hex
+    chars of md5 (stable, engine-agnostic); implemented with JVM-side
+    bit arithmetic (no SQL oracle — verified by a python port in tests)."""
+    toks = _doc_tokens(documents)
+    h64 = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    bits = toks.select("doc_id", h64.alias("h"))
+    votes = [
+        F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{b}")
+        for b in range(60)
+    ]
+    tallied = bits.groupBy("doc_id").agg(*votes)
+    sim = None
+    for b in range(60):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return tallied.select("doc_id", sim.cast("long").alias("simhash"))

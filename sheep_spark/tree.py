@@ -1,0 +1,198 @@
+"""Distributed elimination-tree ("JTree") construction.
+
+Reference semantics (dmargo/sheep):
+
+- Serial insert (lib/jtree.cpp:34-55): vertices are *eliminated* in
+  sequence order. Inserting X (at jnid = pos(X)): for every neighbor
+  already inserted, the root of that neighbor's forest component is
+  adopted — its parent becomes X — and the components merge
+  (lib/jnode.h:158-162 ``adopt`` + lib/unionfind.h:34-103). Neighbors not
+  yet inserted only bump ``pst_weight(X)``.
+- Partial trees built from *any* edge subset over the same global
+  sequence merge associatively (lib/jnode.cpp:174-201 ``merge``,
+  :203-250 ``mpi_merge``): per jnid ascending, re-adopt each partial's
+  tree children through a fresh union-find, summing pst_weights.
+
+Key identity exploited here: a partial tree *is* an edge set
+{(kid_root → parent)} and sheep's merge of partials is exactly the
+partial-build run on the union of those edge sets. So the whole
+map/reduce pipeline is: repartition edge list → per-partition union-find
+kernel (Arrow-vectorized ingress, numpy state) emitting ≤V-1 tree edges →
+repeat with fan-in F until one partition remains. That is a log_F-depth
+reduction tree — the DataFrame equivalent of sheep's MPI_Reduce custom op
+— expressed entirely as ``mapInArrow`` stages, so Catalyst/AQE manage the
+shuffles.
+
+pst_weight needs no kernel at all: it is ``groupBy(lo).count()`` over the
+deduped (lo, hi) pos-space edge list (jtree.cpp:47-49 counts later
+neighbors).
+
+Scale bound: each kernel invocation holds two int64 arrays of length V
+(union-find + parents), i.e. 16 bytes/vertex — 16 GB at V=10^9, matching
+sheep's own per-rank memory model (every MPI rank holds the full JNode
+array, jnode.cpp:203-250). Edges — the 100 TB object — stream through
+Arrow batches and are never materialized per worker.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TREE_EDGE_SCHEMA = "lo long, hi long"
+
+
+def _find(uf: np.ndarray, x: int) -> int:
+    """Union-find find with path halving; root's value is the set's
+    representative = the latest-inserted jnid (unionfind.h semantics:
+    the representative stored at the root is the greatest element)."""
+    while uf[x] != x:
+        uf[x] = uf[uf[x]]
+        x = uf[x]
+    return x
+
+
+def _eliminate(lo: np.ndarray, hi: np.ndarray, n_vertices: int) -> tuple[np.ndarray, np.ndarray]:
+    """Union-find elimination sweep over (lo, hi) pairs sorted by hi.
+
+    Returns (kid, parent) tree-edge arrays. Exact semantics of
+    jtree.cpp:34-55 restricted to this edge subset: processing hi
+    ascending == inserting vertices in sequence order; adopting
+    find(lo) == adopting the neighbor's component root.
+    """
+    order = np.argsort(hi, kind="stable")
+    lo = lo[order]
+    hi = hi[order]
+    uf = np.arange(n_vertices, dtype=np.int64)
+    kid_out = np.empty(min(len(lo), n_vertices), dtype=np.int64)
+    par_out = np.empty_like(kid_out)
+    n_out = 0
+    find = _find
+    for i in range(len(lo)):
+        x = int(hi[i])
+        r = find(uf, int(lo[i]))
+        if r != x:
+            # adopt: tree-parent of the component root becomes x; the
+            # merged component's representative becomes x (the greater).
+            kid_out[n_out] = r
+            par_out[n_out] = x
+            n_out += 1
+            uf[r] = x
+    return kid_out[:n_out], par_out[:n_out]
+
+
+def _eliminate_arrow(batches: Iterator[pa.RecordBatch], n_vertices: int) -> Iterator[pa.RecordBatch]:
+    los, his = [], []
+    for b in batches:
+        los.append(b.column(0).to_numpy(zero_copy_only=False))
+        his.append(b.column(1).to_numpy(zero_copy_only=False))
+    if not los:
+        return
+    lo = np.concatenate(los).astype(np.int64, copy=False)
+    hi = np.concatenate(his).astype(np.int64, copy=False)
+    kid, par = _eliminate(lo, hi, n_vertices)
+    yield pa.RecordBatch.from_arrays([pa.array(kid), pa.array(par)], names=["lo", "hi"])
+
+
+def build_parent_edges(
+    edges_pos_df: DataFrame,
+    n_vertices: int,
+    n_partials: int | None = None,
+    fan_in: int = 8,
+) -> DataFrame:
+    """Map/reduce elimination-tree build → DataFrame (lo=kid jnid, hi=parent jnid).
+
+    Stage 1 ("map", sheep's per-worker JTree ctor): n_partials partial
+    trees, one per shuffle partition. Stages 2.. ("reduce",
+    sheep's merge_trees rounds / MPI_Reduce): coalesce partials by
+    fan_in and re-run the same kernel on their union until one remains.
+    """
+    spark = edges_pos_df.sparkSession
+    if n_partials is None:
+        n_partials = spark.sparkContext.defaultParallelism
+
+    def kernel(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        return _eliminate_arrow(it, n_vertices)
+
+    t = edges_pos_df.select("lo", "hi").repartition(n_partials).mapInArrow(kernel, TREE_EDGE_SCHEMA)
+    p = n_partials
+    while p > 1:
+        p = max(1, p // fan_in)
+        t = t.repartition(p).mapInArrow(kernel, TREE_EDGE_SCHEMA)
+    return t
+
+
+def build_tree(edges_pos_df: DataFrame, n_vertices: int, n_partials: int | None = None) -> DataFrame:
+    """``tree(jnid, parent, pst_weight)`` over jnid = 0..V-1.
+
+    parent is NULL for roots (reference INVALID_JNID, jnode.h:43);
+    pst_weight(j) = #neighbors of the vertex at pos j with greater pos
+    (jtree.cpp:47-49), via a plain aggregation.
+    """
+    spark = edges_pos_df.sparkSession
+    edges_pos_df = edges_pos_df.persist()
+    parents = build_parent_edges(edges_pos_df, n_vertices, n_partials).withColumnRenamed(
+        "lo", "jnid"
+    ).withColumnRenamed("hi", "parent")
+    pst = edges_pos_df.groupBy(F.col("lo").alias("jnid")).agg(F.count("*").alias("pst_weight"))
+    base = spark.range(n_vertices).select(F.col("id").alias("jnid"))
+    return (
+        base.join(parents, "jnid", "left")
+        .join(pst, "jnid", "left")
+        .select("jnid", "parent", F.coalesce("pst_weight", F.lit(0)).cast("long").alias("pst_weight"))
+    )
+
+
+def serial_tree_oracle(edges: list[tuple[int, int]], pos: dict[int, int]) -> tuple[list, list]:
+    """Independent pure-python oracle of jtree.cpp:34-55 for tests.
+
+    ``edges`` are undirected vid pairs (dedup not required); returns
+    (parent, pst_weight) lists indexed by jnid, parent None for roots.
+    """
+    n = len(pos)
+    seq = sorted(pos, key=lambda v: pos[v])
+    adj: dict[int, set[int]] = {v: set() for v in pos}
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    parent: list[int | None] = [None] * n
+    pst = [0] * n
+    comp: dict[int, int] = {}  # plain dict union-find, rep = latest jnid
+
+    def find(j: int) -> int:
+        root = j
+        while comp.get(root, root) != root:
+            root = comp[root]
+        while comp.get(j, j) != j:
+            comp[j], j = root, comp[j]
+        return root
+
+    for x_vid in seq:
+        x = pos[x_vid]
+        for nbr in adj[x_vid]:
+            nbr_j = pos[nbr]
+            if nbr_j < x:  # PREORDER: neighbor already inserted
+                r = find(nbr_j)
+                if r != x:
+                    parent[r] = x
+                    comp[r] = x
+            else:  # POSTORDER
+                pst[x] += 1
+    return parent, pst
+
+
+def tree_facts(tree_df: DataFrame) -> dict:
+    """Subset of JNodeTable::Facts (jnode.cpp:256-290) computable without
+    the jxn machinery: vertex/edge counts, root count, max pst width."""
+    row = tree_df.agg(
+        F.count("*").alias("vert_cnt"),
+        F.sum("pst_weight").alias("edge_cnt"),
+        F.sum(F.when(F.col("parent").isNull(), 1).otherwise(0)).alias("root_cnt"),
+        (F.max("pst_weight") + 1).alias("max_pst_width"),
+    ).collect()[0]
+    return row.asDict()

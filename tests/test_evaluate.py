@@ -1,0 +1,34 @@
+import random
+
+from sheep_spark import evaluate, graph, partitioner
+from tests.conftest import degree_pos, edges_df, random_graph
+
+
+def test_spark_evaluator_matches_python_port(spark):
+    """DataFrame metric suite == direct python port of the reference's
+    nested-loop evaluator (partition.cpp:428-521)."""
+    edges = random_graph(90, 200, seed=21)
+    pos = degree_pos(edges)
+    rng = random.Random(4)
+    part = {v: rng.randrange(4) for v in pos}
+
+    sym = edges_df(spark, edges)
+    verts = graph.vertices_from_edges(sym)
+    assign = spark.createDataFrame(list(part.items()), "vid long, part int")
+    vmeta = partitioner.vertex_meta(verts, assign)
+
+    got = evaluate.evaluate(sym, vmeta)
+    want = evaluate.evaluate_oracle(edges, pos, part)
+    assert got == want
+
+
+def test_evaluator_single_part_zero_cut(spark):
+    edges = random_graph(40, 80, seed=2)
+    sym = edges_df(spark, edges)
+    verts = graph.vertices_from_edges(sym)
+    assign = verts.selectExpr("vid", "CAST(0 AS INT) AS part")
+    m = evaluate.evaluate(sym, partitioner.vertex_meta(verts, assign))
+    assert m["edges_cut"] == 0
+    assert m["vcom_vol"] == 0
+    assert m["ecv_down"] == 0
+    assert m["down_balance"] == m["n_edges"]

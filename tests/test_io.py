@@ -1,0 +1,67 @@
+import os
+
+from pyspark.sql import functions as F
+
+from sheep_spark import graph, io, partitioner, tree
+from tests.conftest import HEP_TH
+
+
+def test_xs1_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, 2), (3, 4), (5, 1)], "src long, dst long")
+    p = str(tmp_path / "tiny.dat")
+    io.write_xs1(df, p)
+    back = io.read_xs1(spark, p)
+    assert sorted((r.src, r.dst) for r in back.collect()) == [(1, 2), (3, 4), (5, 1)]
+
+
+def test_snap_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, 2), (3, 4)], "src long, dst long")
+    p = str(tmp_path / "snap")
+    io.write_snap(df, p)
+    back = io.read_snap(spark, p)
+    assert sorted((r.src, r.dst) for r in back.collect()) == [(1, 2), (3, 4)]
+
+
+def test_hep_th_loads_with_reference_counts(spark):
+    """The reference's own test graph: 15751 edge records, vid space 8361
+    (data/hep-th.dat.ini:1-5) of which 7610 are non-isolated — the engine,
+    like sheep's node iterator (graph_wrapper.h:61-62), skips degree-0."""
+    raw = io.read_xs1(spark, HEP_TH)
+    assert raw.count() == 15751
+    sym = graph.symmetrize(raw)
+    assert sym.count() == 2 * 15751
+    verts = graph.vertices_from_edges(sym)
+    assert verts.count() == 7610
+
+
+def test_hep_th_end_to_end_partition_quality(spark):
+    """Full sheep pipeline on hep-th: tree → FFD k=2 → quality metrics.
+    ECV(down)/edge must be small (sheep's thesis) — well under 5% on this
+    graph — and the tree must mirror the graph's component structure."""
+    from sheep_spark import evaluate
+
+    raw = io.read_xs1(spark, HEP_TH)
+    sym = graph.symmetrize(raw).persist()
+    verts = graph.vertices_from_edges(sym).persist()
+    n = verts.count()
+    t = tree.build_tree(graph.edges_pos(sym, verts), n, n_partials=8)
+    facts = tree.tree_facts(t)
+    assert facts["vert_cnt"] == 7610
+    assert facts["edge_cnt"] == 15751
+
+    assign = partitioner.sheep_partition(t, verts, 2)
+    m = evaluate.evaluate(sym, partitioner.vertex_meta(verts, assign))
+    assert m["ecv_down_per_edge"] < 0.05
+    assert m["down_balance"] <= int((m["n_edges"] // 2) * 1.03)
+
+
+def test_partitioned_sink(spark, tmp_path):
+    edges = spark.createDataFrame(
+        [(1, 2, 0), (3, 4, 1), (5, 6, 1)], "src long, dst long, part int"
+    )
+    out = str(tmp_path / "parts")
+    partitioner.write_partitioned(edges, out)
+    assert os.path.isdir(os.path.join(out, "part=0"))
+    back = spark.read.parquet(out)
+    assert back.count() == 3
+    assert back.where(F.col("part") == 1).count() == 2

@@ -1,0 +1,79 @@
+import numpy as np
+import pytest
+
+from sheep_spark import evaluate, graph, partitioner, tree
+from tests.conftest import SF_DIR, degree_pos, edges_df, random_graph
+
+
+def build_all(spark, edges, k):
+    sym = edges_df(spark, edges)
+    verts = graph.vertices_from_edges(sym)
+    ep = graph.edges_pos(sym, verts)
+    n = verts.count()
+    t = tree.build_tree(ep, n, n_partials=4)
+    assign = partitioner.sheep_partition(t, verts, k)
+    vmeta = partitioner.vertex_meta(verts, assign)
+    return sym, verts, vmeta
+
+
+def test_ffd_invariants():
+    edges = random_graph(200, 500, seed=3)
+    pos = degree_pos(edges)
+    parent_l, pst_l = tree.serial_tree_oracle(edges, pos)
+    parent = np.array([-1 if p is None else p for p in parent_l], dtype=np.int64)
+    weight = np.array(pst_l, dtype=np.int64)
+    for k in (2, 4, 8):
+        parts, max_component = partitioner.forward_partition(parent, weight, k)
+        assert (parts >= 0).all()
+        # per-part down-edge load (sum of pst weights) respects the bound
+        loads = np.bincount(parts, weights=weight)
+        assert (loads <= max_component).all()
+        assert max_component == int((weight.sum() // k) * 1.03)
+
+
+@pytest.mark.parametrize("k", [2, 5])
+def test_down_assign_semantics(spark, k):
+    edges = random_graph(100, 220, seed=11)
+    sym, verts, vmeta = build_all(spark, edges, k)
+    ep = partitioner.down_assign(sym, vmeta).collect()
+    meta = {r.vid: (r.pos, r.part) for r in vmeta.collect()}
+    # every undirected edge exactly once, owned by the lower-pos endpoint
+    assert sorted((r.src, r.dst) for r in ep) == edges
+    for r in ep:
+        pa, qa = meta[r.src]
+        pb, qb = meta[r.dst]
+        assert r.part == (qa if pa < pb else qb)
+
+
+def test_sheep_beats_random_on_ecv_down(spark):
+    edges, verts = graph.graph_from_tpch(spark, SF_DIR)
+    ep = graph.edges_pos(edges, verts)
+    t = tree.build_tree(ep, verts.count(), n_partials=4)
+    for k in (8,):
+        assign = partitioner.sheep_partition(t, verts, k)
+        m_sheep = evaluate.evaluate(edges, partitioner.vertex_meta(verts, assign))
+        m_rand = evaluate.evaluate(
+            edges, partitioner.vertex_meta(verts, partitioner.random_partition(verts, k))
+        )
+        assert m_sheep["ecv_down"] < m_rand["ecv_down"]
+        # FFD balance bound on down-edge load
+        total = m_sheep["n_edges"]
+        assert m_sheep["down_balance"] <= int((total // k) * 1.03)
+
+
+def test_naive_partition_ranges(spark):
+    edges, verts = graph.graph_from_tpch(spark, SF_DIR)
+    n = verts.count()
+    k = 8
+    assign = partitioner.naive_partition(verts, k)
+    rows = partitioner.vertex_meta(verts, assign).collect()
+    for r in rows:
+        assert r.part == (r.pos * k) // n
+
+
+def test_isomorphic_ids_dense(spark):
+    edges = random_graph(50, 100, seed=5)
+    sym, verts, vmeta = build_all(spark, edges, 3)
+    iso = partitioner.isomorphic_ids(vmeta).collect()
+    new_ids = sorted(r.new_vid for r in iso)
+    assert new_ids == list(range(len(iso)))
