@@ -181,7 +181,8 @@ def q_sessionize(spark, sf_dir):
     flagged = ev.withColumn(
         "new_session",
         (
-            F.col("ts").cast("long") - F.coalesce(F.lag(F.col("ts").cast("long")).over(w), F.lit(-10**9))
+            F.col("ts").cast("timestamp").cast("long")
+            - F.coalesce(F.lag(F.col("ts").cast("timestamp").cast("long")).over(w), F.lit(-10**9))
             > 1800
         ).cast("int"),
     )
@@ -215,6 +216,37 @@ def q_sheep_metrics(spark, sf_dir):
     m = evaluate.evaluate(edges, partitioner.vertex_meta(verts, assign))
     cols = ["n_edges", "edges_cut", "vcom_vol", "ecv_down", "down_balance", "vertex_balance"]
     return spark.createDataFrame([tuple(int(m[c]) for c in cols)], ", ".join(f"{c} long" for c in cols))
+
+
+def q_pagerank_csr5(spark, sf_dir):
+    """CSR gather-scatter PageRank — same math as q_pagerank5, different
+    physical plan; shares its SQL oracle (values identical to 1e-10)."""
+    from sheep_spark import csr, partitioner
+
+    edges, verts = _graph(spark, sf_dir)
+    vmeta = partitioner.vertex_meta(verts, partitioner.naive_partition(verts, K)).persist()
+    blocks = csr.build_csr_blocks(edges, vmeta)
+    ranks, _ = csr.pagerank_csr(blocks, vmeta, tol=0.0, max_iter=PR_ITERS)
+    return ranks.select("vid", F.round("rank", 10).alias("rank5"))
+
+
+def q_fennel_assign(spark, sf_dir):
+    from sheep_spark import partitioner
+
+    edges, verts = _graph(spark, sf_dir)
+    return partitioner.fennel_partition(edges, verts, K)
+
+
+def q_tree_facts(spark, sf_dir):
+    from sheep_spark import graph, tree
+
+    edges, verts = _graph(spark, sf_dir)
+    t = tree.build_tree(graph.edges_pos(edges, verts), verts.count())
+    f = tree.tree_facts_full(t)
+    cols = ["vert_cnt", "edge_cnt", "width", "vert_height", "edge_height", "root_cnt"]
+    return spark.createDataFrame(
+        [tuple(int(f[c]) for c in cols)], ", ".join(f"{c} long" for c in cols)
+    )
 
 
 def q_label_prop(spark, sf_dir):
@@ -264,6 +296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "down_assign": q_down_assign,
         "partition_metrics": q_partition_metrics,
         "pagerank5": q_pagerank5,
+        "pagerank_csr5": q_pagerank_csr5,
         "connected_components": q_cc,
         "triangle_count": q_triangles,
         "token_stats": q_tokens,
@@ -278,6 +311,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         # rows-only (non-SQL-expressible: union-find / FFD / LSH planes)
         "elim_tree": q_elim_tree,
+        "tree_facts": q_tree_facts,
+        "fennel_assign": q_fennel_assign,
         "sheep_assign": q_sheep_assign,
         "sheep_partition_metrics": q_sheep_metrics,
         "label_propagation": q_label_prop,
@@ -385,6 +420,7 @@ def oracle_sql() -> dict[str, str]:
               (SELECT MAX(c) FROM (SELECT p, COUNT(*) AS c FROM hashs WHERE src < dst GROUP BY p)) AS hash_balance,
               (SELECT MAX(c) FROM (SELECT part, COUNT(*) AS c FROM assign GROUP BY part)) AS vertex_balance""",
         "pagerank5": _pagerank5_sql(),
+        "pagerank_csr5": _pagerank5_sql(),
         "connected_components": f"""WITH RECURSIVE {_GRAPH_CTE},
             sub AS (SELECT src, dst FROM edges WHERE (src + dst) % {CC_MOD} = 0),
             reach(vid, r) AS (

@@ -1,0 +1,252 @@
+#!/usr/bin/env python3
+"""Benchmark runner. Prints ONE JSON line:
+
+  {"metric": "pagerank_superstep_edges_per_sec", "value": N,
+   "unit": "edges/sec", "queries": {...secs...}, "sf": ...,
+   "scaling": {...N vs 4N cores evidence...}}
+
+Workloads:
+- sf-dir suite (default $SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1):
+  graph build → elimination tree + FFD partition → PageRank (5
+  supersteps + 1e-6 convergence) → CC → triangles → dedup → ANN.
+- scaling evidence (north_rule: ≥0.8 efficiency N→4N executors,
+  sandboxed as local[8] vs local[32]): PageRank supersteps over a
+  JVM-generated ~SCALE_EDGES-edge skewed graph — big enough to be
+  shuffle-bound rather than scheduler-bound, the regime the rule is
+  about. Generated with hash expressions (deterministic, no Python).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SCALE_EDGES = int(os.environ.get("SPARK_GRAFT_SCALE_EDGES", str(24_000_000)))
+# dense web-core shape (avg degree ~hundreds): partial aggregation gets a
+# real combine ratio, so the superstep is compute-bound — the regime a
+# 1000-executor cluster is actually in
+SCALE_V = int(os.environ.get("SPARK_GRAFT_SCALE_V", str(SCALE_EDGES // 240)))
+PR_BENCH_ITERS = 5
+
+
+def synth_edges(spark, n_edges: int, n_vertices: int):
+    """Deterministic skewed edge list, pure JVM exprs: src uniform,
+    dst ~ u^2.5-concentrated (power-law-ish hubs at low ids)."""
+    from pyspark.sql import functions as F
+
+    e = spark.range(n_edges).select(
+        (F.abs(F.xxhash64(F.col("id"), F.lit(1))) % n_vertices).alias("src"),
+        (
+            F.pow(
+                (F.abs(F.xxhash64(F.col("id"), F.lit(2))) % 1_000_000) / 1_000_000.0,
+                F.lit(2.5),
+            )
+            * n_vertices
+        ).cast("long").alias("dst"),
+    )
+    from sheep_spark.graph import symmetrize
+
+    return symmetrize(e)
+
+
+def pagerank_supersteps(spark, edges, iters: int) -> tuple[float, int]:
+    """(wall seconds for `iters` supersteps, directed edge count)."""
+    from sheep_spark import analytics
+
+    n_edges = edges.count()  # materialize inputs before the clock
+    t0 = time.time()
+    _, info = analytics.pagerank(edges, tol=0.0, max_iter=iters)
+    return time.time() - t0, n_edges
+
+
+def run_sf_suite(spark) -> dict:
+    from pyspark.sql import functions as F
+
+    from sheep_spark import analytics, ann, evaluate, graph, partitioner, textops, tree
+
+    q: dict[str, float] = {}
+
+    t0 = time.time()
+    edges, verts = graph.graph_from_tpch(spark, SF_DIR)
+    n_edges_directed = edges.count()
+    n_vertices = verts.count()
+    q["graph_build"] = time.time() - t0
+
+    t0 = time.time()
+    t = tree.build_tree(graph.edges_pos(edges, verts), n_vertices)
+    assign = partitioner.sheep_partition(t, verts, 8)
+    vmeta = partitioner.vertex_meta(verts, assign).persist()
+    vmeta.count()
+    q["tree_and_partition_k8"] = time.time() - t0
+
+    t0 = time.time()
+    m = evaluate.evaluate(edges, vmeta)
+    q["evaluate_metrics"] = time.time() - t0
+
+    wall, _ = pagerank_supersteps(spark, edges, PR_BENCH_ITERS)
+    q["pagerank_5_supersteps"] = wall
+
+    t0 = time.time()
+    _, info = analytics.pagerank(edges, verts, tol=1e-6, max_iter=100)
+    q["pagerank_converge_1e6"] = time.time() - t0
+    conv_iters = info["iterations"]
+
+    t0 = time.time()
+    labels, _ = analytics.connected_components(edges)
+    labels.count()
+    q["connected_components"] = time.time() - t0
+
+    t0 = time.time()
+    analytics.triangle_count(edges, verts)
+    q["triangle_count"] = time.time() - t0
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    t0 = time.time()
+    textops.exact_dedup(docs).count()
+    q["exact_dedup"] = time.time() - t0
+    t0 = time.time()
+    textops.minhash_lsh_pairs(docs, threshold=0.5).count()
+    q["minhash_lsh_pairs"] = time.time() - t0
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    t0 = time.time()
+    ann.cosine_topk(emb, [0, 1, 2, 3, 4], k=10).count()
+    q["ann_cosine_topk"] = time.time() - t0
+
+    return {
+        "queries": {k: round(v, 3) for k, v in q.items()},
+        "n_edges_directed": n_edges_directed,
+        "n_vertices": n_vertices,
+        "pagerank_conv_iters": conv_iters,
+        "ecv_down_per_edge_k8": round(m["ecv_down_per_edge"], 6),
+    }
+
+
+SCALE_LOW = int(os.environ.get("SPARK_GRAFT_SCALE_LOW", "2"))
+SCALE_HIGH = int(os.environ.get("SPARK_GRAFT_SCALE_HIGH", str(4 * SCALE_LOW)))
+
+
+def scale_worker(cores: int) -> None:
+    """Child-process entry: run the superstep job at one parallelism
+    level, print a JSON line. Median of post-warmup supersteps — the
+    steady-state regime the scaling rule is about."""
+    import statistics
+
+    from sheep_spark import analytics
+    from sheep_spark.session import get_spark
+
+    spark = get_spark(f"bench-scale-{cores}", cores=cores, shuffle_partitions=48)
+    spark.sparkContext.setLogLevel("ERROR")
+    edges = synth_edges(spark, SCALE_EDGES, SCALE_V).repartition(48).persist()
+    n_edges = edges.count()
+    _, info = analytics.pagerank(edges, tol=0.0, max_iter=6)
+    med = statistics.median(info["superstep_secs"][2:])
+    print(
+        json.dumps(
+            {
+                "cores": cores,
+                "superstep_median_s": round(med, 3),
+                "superstep_secs": [round(s, 2) for s in info["superstep_secs"]],
+                "edges_directed": n_edges,
+                "edges_per_sec_per_superstep": int(n_edges / med),
+            }
+        )
+    )
+    spark.stop()
+
+
+def _cgroup_setup(name: str, n_cpus: int) -> str | None:
+    """Best-effort cgroup-v1 CPU quota so each level gets EXACTLY its
+    core budget — this host's vCPUs are burst-throttled (low-thread
+    processes over-perform), which makes un-quota'd same-machine scaling
+    comparisons meaningless. Falls back to None (plain local[N])."""
+    path = f"/sys/fs/cgroup/cpu/sheep_bench_{name}"
+    try:
+        os.makedirs(path, exist_ok=True)
+        with open(f"{path}/cpu.cfs_period_us", "w") as f:
+            f.write("100000")
+        with open(f"{path}/cpu.cfs_quota_us", "w") as f:
+            f.write(str(n_cpus * 100000))
+        return path
+    except OSError:
+        return None
+
+
+def run_scaling() -> dict:
+    """north_rule evidence: the identical superstep job at N and 4N cores
+    (separate processes; cgroup CPU quotas when available). Reports
+    steady-state median superstep throughput at both + efficiency."""
+    import subprocess
+
+    out = {}
+    for name, cores in (("low", SCALE_LOW), ("high", SCALE_HIGH)):
+        cg = _cgroup_setup(name, cores)
+        cmd = [sys.executable, os.path.abspath(__file__), "--scale-worker", str(cores)]
+        if cg is not None:
+            cmd = [
+                "bash",
+                "-c",
+                f'echo $$ > {cg}/cgroup.procs && exec "$@"',
+                "bench",
+                *cmd,
+            ]
+        proc = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
+        line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+        out[name] = json.loads(line)
+        out[name]["cgroup_quota"] = cg is not None
+    speedup = out["low"]["superstep_median_s"] / out["high"]["superstep_median_s"]
+    efficiency = speedup / (SCALE_HIGH / SCALE_LOW)
+    return {
+        "cores_low": SCALE_LOW,
+        "cores_high": SCALE_HIGH,
+        "low": out["low"],
+        "high": out["high"],
+        "speedup": round(speedup, 3),
+        "efficiency": round(efficiency, 3),
+        "synthetic_edges": SCALE_EDGES,
+        "protocol": "same job, separate processes, cgroup CPU quotas, median post-warmup superstep",
+    }
+
+
+def main() -> None:
+    from sheep_spark.session import get_spark
+
+    t_total = time.time()
+    spark = get_spark("bench", cores=CPUS, shuffle_partitions=max(CPUS, 16))
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = run_sf_suite(spark)
+    spark.stop()
+
+    scaling = run_scaling() if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1" else None
+
+    headline = (
+        scaling["high"]["edges_per_sec_per_superstep"]
+        if scaling
+        else int(sf["n_edges_directed"] * PR_BENCH_ITERS / sf["queries"]["pagerank_5_supersteps"])
+    )
+    result = {
+        "metric": "pagerank_superstep_edges_per_sec",
+        "value": headline,
+        "unit": "edges/sec",
+        "queries": sf["queries"],
+        "sf": float(SF_DIR.rstrip("/").split("sf")[-1]),
+        "graph": {
+            "n_vertices": sf["n_vertices"],
+            "n_edges_directed": sf["n_edges_directed"],
+            "pagerank_conv_iters": sf["pagerank_conv_iters"],
+            "ecv_down_per_edge_k8": sf["ecv_down_per_edge_k8"],
+        },
+        "scaling": scaling,
+        "total_wall_s": round(time.time() - t_total, 1),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

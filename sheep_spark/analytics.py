@@ -84,12 +84,16 @@ def pagerank(
         if (it - start_iter) % 8 == 7:
             new_state = new_state.localCheckpoint(eager=False)
         new_state = new_state.persist()
-        l1 = (
-            new_state.select("vid", F.col("rank").alias("nr"))
-            .join(state.select("vid", "rank"), "vid")
-            .agg(F.sum(F.abs(F.col("nr") - F.col("rank"))).alias("d"))
-            .collect()[0]["d"]
-        )
+        if tol > 0.0:
+            l1 = (
+                new_state.select("vid", F.col("rank").alias("nr"))
+                .join(state.select("vid", "rank"), "vid")
+                .agg(F.sum(F.abs(F.col("nr") - F.col("rank"))).alias("d"))
+                .collect()[0]["d"]
+            )
+        else:  # fixed-iteration mode: materialize without the delta join
+            new_state.count()
+            l1 = float("inf")
         state.unpersist()
         state = new_state
         info["iterations"] = it + 1

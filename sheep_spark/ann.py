@@ -92,23 +92,35 @@ def lsh_bucket_expr(vec_col, planes) -> "F.Column":
 
 
 def lsh_topk(
-    embeddings: DataFrame, query_ids: list[int], k: int = 10, n_planes: int = 8,
-    id_col: str = "vec_id", vec_col: str = "embedding",
+    embeddings: DataFrame, query_ids: list[int], k: int = 10, n_planes: int = 4,
+    n_tables: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
-    """LSH-bucketed ANN: candidates share the query's hyperplane-sign
-    bucket; exact cosine re-rank inside the bucket. At scale the bucket
-    join is a shuffle on the (small) bucket key instead of a full cross
-    join — recall traded via n_planes."""
+    """LSH-bucketed ANN with ``n_tables`` independent hyperplane tables:
+    a candidate matches if it shares the query's bucket in ANY table
+    (classic multi-table LSH — single-table sign buckets are far too
+    fine for weakly correlated vectors). Exact cosine re-rank on the
+    candidate union. At scale each table join is a shuffle on the bucket
+    key instead of a full cross join; recall rises with n_tables,
+    selectivity with n_planes."""
     dim = len(embeddings.select(vec_col).first()[0])
-    planes = _hyperplanes(dim, n_planes)
     emb = embeddings.select(
         F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("ce")
-    ).withColumn("bucket", lsh_bucket_expr(F.col("ce"), planes))
+    )
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed=7 + t)
+        emb = emb.withColumn(f"bucket_{t}", lsh_bucket_expr(F.col("ce"), planes))
+    emb = emb.persist()
     queries = emb.where(F.col("nid").isin(query_ids)).select(
-        F.col("nid").alias("query_id"), F.col("ce").alias("qe"), "bucket"
+        F.col("nid").alias("query_id"),
+        F.col("ce").alias("qe"),
+        *[F.col(f"bucket_{t}").alias(f"qb_{t}") for t in range(n_tables)],
     )
     cands = emb.where(~F.col("nid").isin(query_ids))
-    scored = with_cosine(F.broadcast(queries).join(cands, "bucket"))
+    match_any = None
+    for t in range(n_tables):
+        m = F.col(f"qb_{t}") == F.col(f"bucket_{t}")
+        match_any = m if match_any is None else (match_any | m)
+    scored = with_cosine(F.broadcast(queries).join(cands, on=match_any))
     scored = scored.select(
         "query_id", F.col("nid").alias("neighbor_id"), F.round(F.col("cosine"), 6).alias("cosine")
     )

@@ -57,7 +57,7 @@ def normalize_url(url: str) -> str:
     if scheme == "https" and host.endswith(":443"):
         host = host[:-4]
     path = m.group(3) or ""
-    if path.endswith("/") and len(path) > 1:
+    if path.endswith("/"):
         path = path[:-1]
     return f"{scheme}://{host}{path}"
 

@@ -186,6 +186,79 @@ def serial_tree_oracle(edges: list[tuple[int, int]], pos: dict[int, int]) -> tup
     return parent, pst
 
 
+def merge_parent_edges(tree_a: DataFrame, tree_b: DataFrame, n_vertices: int) -> DataFrame:
+    """Public pairwise tree merge (merge_trees.cpp:37-100 / JNodeTable::
+    merge, jnode.cpp:174-201): union the two partials' tree edges and
+    re-run the elimination kernel. Associative by construction."""
+    both = tree_a.select("lo", "hi").unionAll(tree_b.select("lo", "hi"))
+    return build_parent_edges(both, n_vertices, n_partials=1)
+
+
+def save_tree(tree_df: DataFrame, path: str) -> None:
+    """Tree sink (reference .tre save, jnode.cpp:164-168 → parquet)."""
+    tree_df.write.mode("overwrite").parquet(path)
+
+
+def load_tree(spark, path: str) -> DataFrame:
+    """Reopen a saved tree (jnode.cpp:76-102 mmap-open → parquet scan).
+    Repartitioning with a new k reuses this — partition cost independent
+    of k, matching data/runtimes/com-lj.time (constant col4)."""
+    return spark.read.parquet(path)
+
+
+def save_sequence(vertices: DataFrame, path: str) -> None:
+    """Sequence sink (.seq, sequence.h:133-184 → parquet of vertices)."""
+    vertices.select("vid", "degree", "pos").write.mode("overwrite").parquet(path)
+
+
+def load_sequence(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def tree_facts_full(tree_df: DataFrame) -> dict:
+    """Exact JNodeTable::Facts (jnode.cpp:256-290) without the jxn
+    machinery (width = 1 + pst_weight, fill = 0 — the reference's
+    default jopts build the same padless tree, jtree.h:86-90). Driver
+    pass over the O(V) collected arrays, like the reference's rank 0."""
+    import numpy as np
+
+    pdf = tree_df.select("jnid", "parent", "pst_weight").toPandas().sort_values("jnid")
+    par = pdf["parent"].to_numpy()
+    pst = pdf["pst_weight"].to_numpy().astype(np.int64)
+    n = len(pdf)
+    vheight = np.ones(n, dtype=np.int64)
+    eheight = pst.copy()
+    facts = {
+        "vert_cnt": int(n),
+        "edge_cnt": int(pst.sum()),
+        "width": int(pst.max()) + 1 if n else 0,
+        "fill": 0,
+        "vert_height": 0,
+        "edge_height": 0,
+        "root_cnt": 0,
+        "halo_id": None,
+        "core_id": None,
+    }
+    running_width = 0
+    for j in range(n):
+        w = int(pst[j]) + 1
+        running_width = max(running_width, w)
+        p = par[j]
+        if p is not None and not (isinstance(p, float) and np.isnan(p)):
+            p = int(p)
+            vheight[p] = max(vheight[p], vheight[j] + 1)
+            eheight[p] = max(eheight[p], eheight[j] + pst[p])
+        else:
+            facts["vert_height"] = max(facts["vert_height"], int(vheight[j]))
+            facts["edge_height"] = max(facts["edge_height"], int(eheight[j]))
+            facts["root_cnt"] += 1
+        if facts["halo_id"] is None and w > 3:
+            facts["halo_id"] = j
+        if facts["core_id"] is None and w >= running_width:
+            facts["core_id"] = j
+    return facts
+
+
 def tree_facts(tree_df: DataFrame) -> dict:
     """Subset of JNodeTable::Facts (jnode.cpp:256-290) computable without
     the jxn machinery: vertex/edge counts, root count, max pst width."""

@@ -1,0 +1,87 @@
+import duckdb
+import pytest
+
+from sheep_spark import textops
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(DOCS)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{DOCS}')")
+    return con
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_exact_dedup_matches_duckdb(docs, duck):
+    got = rows(textops.exact_dedup(docs))
+    want = sorted(
+        duck.execute(
+            r"""SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
+                       MIN(doc_id), CAST(COUNT(*) AS BIGINT)
+                FROM documents GROUP BY 1"""
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_token_stats_matches_duckdb(docs, duck):
+    got = rows(textops.token_stats(docs))
+    want = sorted(
+        duck.execute(
+            r"""SELECT doc_id,
+                   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT),
+                   CAST(length(text) AS BIGINT),
+                   CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+                FROM documents"""
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_minhash_estimates_jaccard(docs):
+    """MinHash estimate correlates with exact Jaccard on true near-dups."""
+    exact = {(r.doc_a, r.doc_b): r.jaccard for r in textops.jaccard_pairs(docs, 0.5).collect()}
+    est = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in textops.minhash_lsh_pairs(docs, threshold=0.25).collect()
+    }
+    # 16 hashes / 4 bands: P(recall | j=0.8) = 1-(1-0.8^4)^4 ≈ 0.88 —
+    # check aggregate recall, not per-pair (LSH is probabilistic by design)
+    strong = {p for p, j in exact.items() if j >= 0.8}
+    recalled = strong & set(est)
+    assert len(recalled) >= 0.7 * len(strong)
+    for p in recalled:
+        assert abs(est[p] - exact[p]) < 0.45  # 16-hash estimator is coarse
+
+
+def test_simhash_matches_python_port(docs):
+    import hashlib
+
+    got = {r.doc_id: r.simhash for r in textops.simhash64(docs).collect()}
+    pdf = docs.select("doc_id", "text").toPandas()
+    for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+        toks = set(text.strip().lower().split())
+        tally = [0] * 60
+        for t in toks:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+            for b in range(60):
+                tally[b] += 1 if (h >> b) & 1 else -1
+        want = sum(2**b for b in range(60) if tally[b] > 0)
+        assert got[doc_id] == want
+
+
+def test_lang_id_deterministic(docs):
+    a = {r.doc_id: r.lang_guess for r in textops.lang_id(docs).collect()}
+    b = {r.doc_id: r.lang_guess for r in textops.lang_id(docs).collect()}
+    assert a == b
+    assert set(a.values()) <= {"en", "de", "fr"}
