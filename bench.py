@@ -10,10 +10,11 @@ Workloads:
   graph build → elimination tree + FFD partition → PageRank (5
   supersteps + 1e-6 convergence) → CC → triangles → dedup → ANN.
 - scaling evidence (north_rule: ≥0.8 efficiency N→4N executors,
-  sandboxed as local[8] vs local[32]): PageRank supersteps over a
-  JVM-generated ~SCALE_EDGES-edge skewed graph — big enough to be
-  shuffle-bound rather than scheduler-bound, the regime the rule is
-  about. Generated with hash expressions (deterministic, no Python).
+  sandboxed as N vs 4N local cores in separate processes under cgroup
+  CPU quotas): PageRank supersteps over a JVM-generated skewed graph
+  big enough to be compute/shuffle-bound rather than scheduler-bound
+  — the regime a real cluster is in. Deterministic hash-expression
+  generation, no Python in the loop.
 """
 
 from __future__ import annotations
@@ -27,7 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-SCALE_EDGES = int(os.environ.get("SPARK_GRAFT_SCALE_EDGES", str(24_000_000)))
+SCALE_EDGES = int(os.environ.get("SPARK_GRAFT_SCALE_EDGES", str(48_000_000)))
 # dense web-core shape (avg degree ~hundreds): partial aggregation gets a
 # real combine ratio, so the superstep is compute-bound — the regime a
 # 1000-executor cluster is actually in
@@ -249,4 +250,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--scale-worker":
+        scale_worker(int(sys.argv[2]))
+    else:
+        main()

@@ -47,52 +47,81 @@ def _sum_distinct_minus_one(pairs: DataFrame, key: str, val: str) -> int:
 
 
 def evaluate(edges_sym: DataFrame, vmeta: DataFrame, broadcast_meta: bool = True) -> dict:
-    """Full metric dict; one cached edge-join reused by every aggregate."""
+    """Full metric dict in THREE jobs over one cached edge-join:
+    (1) scalar counts, (2) all per-vertex distinct-owner sums via a
+    metric-tagged union, (3) all per-part max loads likewise. The tagged
+    union turns what would be 7 separate aggregations into single
+    shuffles with a 'metric' key prefix — same skew-safety, 1/3 the
+    passes."""
     j = joined_edges(edges_sym, vmeta, broadcast_meta).persist()
     try:
-        n_edges = j.count() // 2  # undirected edge count (table is doubled)
-
-        edges_cut = j.where((F.col("src") < F.col("dst")) & (F.col("part_a") != F.col("part_b"))).count()
-
-        vcom_pairs = j.select("src", F.col("part_b").alias("p")).unionAll(
-            j.select("src", F.col("part_a").alias("p"))
-        )
-        vcom_vol = _sum_distinct_minus_one(vcom_pairs, "src", "p")
-
         down_owner = F.when(F.col("pos_a") < F.col("pos_b"), F.col("part_a")).otherwise(F.col("part_b"))
         up_owner = F.when(F.col("pos_a") > F.col("pos_b"), F.col("part_a")).otherwise(F.col("part_b"))
         hash_owner = F.when(_cormen(F.col("src")) < _cormen(F.col("dst")), F.col("part_a")).otherwise(
             F.col("part_b")
         )
 
-        ecv_down = _sum_distinct_minus_one(j.select("src", down_owner.alias("p")), "src", "p")
-        ecv_up = _sum_distinct_minus_one(j.select("src", up_owner.alias("p")), "src", "p")
-        ecv_hash = _sum_distinct_minus_one(j.select("src", hash_owner.alias("p")), "src", "p")
+        scalars = j.agg(
+            F.count("*").alias("n_directed"),
+            F.sum(
+                ((F.col("src") < F.col("dst")) & (F.col("part_a") != F.col("part_b"))).cast("long")
+            ).alias("edges_cut"),
+        ).collect()[0]
+        n_edges = int(scalars["n_directed"]) // 2
+        edges_cut = int(scalars["edges_cut"] or 0)
 
-        def max_load(owner_col, cond) -> int:
-            loads = j.where(cond).groupBy(owner_col.alias("part")).count()
-            row = loads.agg(F.coalesce(F.max("count"), F.lit(0)).alias("m")).collect()[0]
-            return int(row["m"])
+        def tagged(metric, p_col, cond=None):
+            d = j.where(cond) if cond is not None else j
+            return d.select(F.lit(metric).alias("metric"), "src", p_col.alias("p"))
 
-        down_balance = max_load(down_owner, F.col("pos_a") < F.col("pos_b"))
-        up_balance = max_load(up_owner, F.col("pos_a") > F.col("pos_b"))
-        hash_balance = max_load(hash_owner, F.col("src") < F.col("dst"))
+        ecv_rows = (
+            tagged("vcom", F.col("part_b"))
+            .unionAll(tagged("vcom", F.col("part_a")))
+            .unionAll(tagged("down", down_owner))
+            .unionAll(tagged("up", up_owner))
+            .unionAll(tagged("hash", hash_owner))
+        )
+        per_vertex = (
+            ecv_rows.distinct()
+            .groupBy("metric", "src")
+            .agg((F.count("*") - 1).alias("c"))
+            .groupBy("metric")
+            .agg(F.sum("c").alias("s"))
+        )
+        ecv = {r["metric"]: int(r["s"]) for r in per_vertex.collect()}
 
-        vb = vmeta.groupBy("part").count().agg(F.max("count").alias("m")).collect()[0]
-        vertex_balance = int(vb["m"])
+        def load_rows(metric, p_col, cond):
+            return j.where(cond).select(F.lit(metric).alias("metric"), p_col.alias("part"))
+
+        bal_rows = (
+            load_rows("down", down_owner, F.col("pos_a") < F.col("pos_b"))
+            .unionAll(load_rows("up", up_owner, F.col("pos_a") > F.col("pos_b")))
+            .unionAll(load_rows("hash", hash_owner, F.col("src") < F.col("dst")))
+            .unionAll(
+                vmeta.select(F.lit("vertex").alias("metric"), F.col("part"))
+            )
+        )
+        balances = {
+            r["metric"]: int(r["m"])
+            for r in bal_rows.groupBy("metric", "part")
+            .count()
+            .groupBy("metric")
+            .agg(F.max("count").alias("m"))
+            .collect()
+        }
 
         return {
             "n_edges": n_edges,
             "edges_cut": edges_cut,
-            "vcom_vol": vcom_vol,
-            "ecv_down": ecv_down,
-            "ecv_up": ecv_up,
-            "ecv_hash": ecv_hash,
-            "down_balance": down_balance,
-            "up_balance": up_balance,
-            "hash_balance": hash_balance,
-            "vertex_balance": vertex_balance,
-            "ecv_down_per_edge": ecv_down / max(n_edges, 1),
+            "vcom_vol": ecv.get("vcom", 0),
+            "ecv_down": ecv.get("down", 0),
+            "ecv_up": ecv.get("up", 0),
+            "ecv_hash": ecv.get("hash", 0),
+            "down_balance": balances.get("down", 0),
+            "up_balance": balances.get("up", 0),
+            "hash_balance": balances.get("hash", 0),
+            "vertex_balance": balances.get("vertex", 0),
+            "ecv_down_per_edge": ecv.get("down", 0) / max(n_edges, 1),
         }
     finally:
         j.unpersist()
