@@ -30,12 +30,20 @@ CC_MOD = 7  # sparsifier for the CC query: dense enough for a small
 # ---------------------------------------------------------------------------
 
 
+_GRAPH_CACHE: dict = {}
+
+
 def _graph(spark: SparkSession, sf_dir: str):
+    """Memoized per (session, sf_dir): the driver runs every query in one
+    session, so the symmetrize + rank work (and its cache) is shared."""
     from sheep_spark import graph
 
-    edges = graph.edges_from_tpch(spark, sf_dir, V_MOD).persist()
-    verts = graph.vertices_from_edges(edges).persist()
-    return edges, verts
+    key = (id(spark), sf_dir)
+    if key not in _GRAPH_CACHE:
+        edges = graph.edges_from_tpch(spark, sf_dir, V_MOD).persist()
+        verts = graph.vertices_from_edges(edges).persist()
+        _GRAPH_CACHE[key] = (edges, verts)
+    return _GRAPH_CACHE[key]
 
 
 def _naive_meta(spark: SparkSession, sf_dir: str):

@@ -182,7 +182,8 @@ def connected_components(
 
 
 def label_propagation(
-    edges_sym: DataFrame, max_iter: int = 10, init: DataFrame | None = None
+    edges_sym: DataFrame, max_iter: int = 10, init: DataFrame | None = None,
+    checkpointer=None,
 ) -> tuple[DataFrame, dict]:
     """Synchronous LPA with a fully deterministic schedule: new label =
     most frequent neighbor label, ties broken by smallest label; a vertex
@@ -193,10 +194,15 @@ def label_propagation(
     labels = init or edges.select(F.col("src").alias("vid")).distinct().withColumn(
         "label", F.col("vid")
     )
+    start_iter = 0
+    if checkpointer is not None:
+        resumed = checkpointer.latest()
+        if resumed is not None:
+            start_iter, labels = resumed[0] + 1, resumed[1]
     labels = labels.localCheckpoint(eager=True)
     w = Window.partitionBy("vid").orderBy(F.desc("cnt"), F.asc("label"))
     info = {"iterations": 0}
-    for it in range(max_iter):
+    for it in range(start_iter, max_iter):
         counts = (
             edges.join(labels.withColumnRenamed("vid", "src"), "src")
             .groupBy(F.col("dst").alias("vid"), "label")
@@ -210,6 +216,8 @@ def label_propagation(
         )
         labels = new_labels
         info["iterations"] = it + 1
+        if checkpointer is not None:
+            checkpointer.save(it, labels, {})
     edges.unpersist()
     return labels, info
 

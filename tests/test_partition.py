@@ -77,3 +77,24 @@ def test_isomorphic_ids_dense(spark):
     iso = partitioner.isomorphic_ids(vmeta).collect()
     new_ids = sorted(r.new_vid for r in iso)
     assert new_ids == list(range(len(iso)))
+
+
+def test_experimental_partitioners_cover_all(spark):
+    import numpy as np
+
+    from sheep_spark import tree as treemod
+
+    edges = random_graph(150, 320, seed=19)
+    pos = degree_pos(edges)
+    parent_l, pst_l = treemod.serial_tree_oracle(edges, pos)
+    parent = np.array([-1 if p is None else p for p in parent_l], dtype=np.int64)
+    weight = np.array(pst_l, dtype=np.int64)
+    for fn in (
+        partitioner.naive_greedy_partition,
+        partitioner.depth_partition,
+        partitioner.height_partition,
+        partitioner.backward_partition,
+    ):
+        parts = fn(parent, weight, 4)
+        assert (parts >= 0).all(), fn.__name__
+        assert len(set(parts.tolist())) >= 2, fn.__name__
