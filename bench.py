@@ -120,6 +120,20 @@ def run_sf_suite(spark) -> dict:
     ann.cosine_topk(emb, [0, 1, 2, 3, 4], k=10).count()
     q["ann_cosine_topk"] = time.time() - t0
 
+    # primary input path: synthetic Common-Crawl pages → pinned
+    # extraction → href edges → symmetrized graph (throughput of the
+    # Arrow extraction kernels + id minting)
+    from sheep_spark import corpus, extract
+
+    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "20000"))
+    pages = corpus.generate_pages(spark, n_pages).persist()
+    pages.count()
+    t0 = time.time()
+    p_edges, _ids = extract.edges_from_pages(pages)
+    n_page_edges = p_edges.count()
+    q["pages_extract_to_graph"] = time.time() - t0
+    pages.unpersist()
+
     return {
         "queries": {k: round(v, 3) for k, v in q.items()},
         "n_edges_directed": n_edges_directed,

@@ -41,3 +41,16 @@ def test_cc_resume(spark, tmp_path):
     resumed, _ = analytics.connected_components(sym, checkpointer=ck)
     got = {r.vid: r.component for r in resumed.collect()}
     assert got == want
+
+
+def test_lp_resume(spark, tmp_path):
+    edges = random_graph(60, 130, seed=41)
+    sym = edges_df(spark, edges)
+    straight, _ = analytics.label_propagation(sym, max_iter=4)
+    want = {r.vid: r.label for r in straight.collect()}
+
+    ck = Checkpointer(spark, str(tmp_path / "lp"), job="lp")
+    analytics.label_propagation(sym, max_iter=2, checkpointer=ck)
+    resumed, _ = analytics.label_propagation(sym, max_iter=4, checkpointer=ck)
+    got = {r.vid: r.label for r in resumed.collect()}
+    assert got == want

@@ -57,3 +57,25 @@ def test_pages_to_graph_pipeline(spark):
     degs = sorted(r.degree for r in verts.collect())
     assert degs[-1] > 10 * degs[len(degs) // 2]  # hub exists (zipf 1.3)
     assert edges.where(F.col("src") == F.col("dst")).count() == 0
+
+
+def test_sheep_beats_naive_on_zipf_pages_graph(spark):
+    """The hub-skewed corpus graph is where degree-ordered partitioning
+    earns its keep: sheep's tree partition must beat naive pos-chunks on
+    ECV(down)."""
+    from sheep_spark import evaluate, partitioner, tree
+
+    pages = corpus.generate_pages(spark, 600, seed=42)
+    edges, _ids = extract.edges_from_pages(pages)
+    edges = edges.persist()
+    verts = graph.vertices_from_edges(edges).persist()
+    n = verts.count()
+    t = tree.build_tree(graph.edges_pos(edges, verts), n, n_partials=4)
+    m_sheep = evaluate.evaluate(
+        edges, partitioner.vertex_meta(verts, partitioner.sheep_partition(t, verts, 4))
+    )
+    m_naive = evaluate.evaluate(
+        edges, partitioner.vertex_meta(verts, partitioner.naive_partition(verts, 4))
+    )
+    assert m_sheep["ecv_down"] < m_naive["ecv_down"]
+    assert m_sheep["down_balance"] <= int((m_sheep["n_edges"] // 4) * 1.03)
