@@ -199,8 +199,7 @@ def run_scaling() -> dict:
     steady-state median superstep throughput at both + efficiency."""
     import subprocess
 
-    out = {}
-    for name, cores in (("low", SCALE_LOW), ("high", SCALE_HIGH)):
+    def run_level(name: str, cores: int) -> dict:
         cg = _cgroup_setup(name, cores)
         cmd = [sys.executable, os.path.abspath(__file__), "--scale-worker", str(cores)]
         if cg is not None:
@@ -213,8 +212,20 @@ def run_scaling() -> dict:
             ]
         proc = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
         line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
-        out[name] = json.loads(line)
-        out[name]["cgroup_quota"] = cg is not None
+        res = json.loads(line)
+        res["cgroup_quota"] = cg is not None
+        return res
+
+    # host noise only ever SLOWS a run, so alternate the levels twice and
+    # keep each level's best (min median) — a single noisy leg otherwise
+    # produces nonsense (even super-linear) efficiency readings
+    repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
+    out: dict = {}
+    for _ in range(repeats):
+        for name, cores in (("low", SCALE_LOW), ("high", SCALE_HIGH)):
+            res = run_level(name, cores)
+            if name not in out or res["superstep_median_s"] < out[name]["superstep_median_s"]:
+                out[name] = res
     speedup = out["low"]["superstep_median_s"] / out["high"]["superstep_median_s"]
     efficiency = speedup / (SCALE_HIGH / SCALE_LOW)
     return {
