@@ -317,16 +317,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann,
         "events_rollup": q_events_rollup,
         "sessionize": q_sessionize,
-        # rows-only (non-SQL-expressible: union-find / FFD / LSH planes)
+        "label_propagation": q_label_prop,
+        "simhash": q_simhash,
+        "ann_lsh_topk": q_lsh_ann,
+        "pages_extract_identity": q_pages_extract,
+        # rows-only (genuinely non-SQL-expressible: union-find tree build,
+        # driver FFD packing / FENNEL stream — sequential by definition)
         "elim_tree": q_elim_tree,
         "tree_facts": q_tree_facts,
         "fennel_assign": q_fennel_assign,
         "sheep_assign": q_sheep_assign,
         "sheep_partition_metrics": q_sheep_metrics,
-        "label_propagation": q_label_prop,
-        "simhash": q_simhash,
-        "ann_lsh_topk": q_lsh_ann,
-        "pages_extract_identity": q_pages_extract,
     }
 
 
@@ -395,6 +396,96 @@ r{i} AS (
         prev = f"r{i}"
     lines.append(f"\nSELECT vid, ROUND(rank, 10) AS rank5 FROM {prev}")
     return "".join(lines)
+
+
+def _label_prop_sql(iters: int = 3) -> str:
+    """LPA unrolled like _pagerank5_sql: per round, new label = mode of
+    neighbor labels with smallest-label tie-break (ROW_NUMBER over
+    cnt DESC, label ASC) — exactly analytics.label_propagation."""
+    parts = [
+        "WITH " + _GRAPH_CTE.strip(),
+        f""",
+sub AS (SELECT src, dst FROM edges WHERE (src + dst) % {CC_MOD} = 0),
+l0 AS (SELECT DISTINCT src AS vid, src AS label FROM sub)""",
+    ]
+    prev = "l0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+l{i} AS (
+  SELECT vid, label FROM (
+    SELECT e.dst AS vid, p.label, COUNT(*) AS cnt,
+           ROW_NUMBER() OVER (PARTITION BY e.dst ORDER BY COUNT(*) DESC, p.label ASC) AS rn
+    FROM sub e JOIN {prev} p ON e.src = p.vid
+    GROUP BY e.dst, p.label
+  ) WHERE rn = 1
+)"""
+        )
+        prev = f"l{i}"
+    parts.append(f"\nSELECT vid, label FROM {prev}")
+    return "".join(parts)
+
+
+def _simhash_sql() -> str:
+    """64-bit SimHash: per (doc, bit) ±1 vote over token md5 bits, then
+    hex-string assembly — mirrors textops.simhash64 nibble for nibble.
+    Bit b lives in hex char p = 16 - b//4 of md5(tok), at in-nibble
+    offset b % 4."""
+    return r"""WITH toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+),
+votes AS (
+  SELECT doc_id, b,
+         SUM(CASE WHEN ((strpos('0123456789abcdef',
+                                substr(md5(tok), CAST(16 - b // 4 AS INT), 1)) - 1)
+                        >> CAST(b % 4 AS INT)) & 1 = 1
+                  THEN 1 ELSE -1 END) AS vote
+  FROM toks, (SELECT unnest(range(64)) AS b)
+  GROUP BY doc_id, b
+),
+nibs AS (
+  SELECT doc_id, CAST(16 - b // 4 AS INT) AS p,
+         SUM(CASE WHEN vote > 0 THEN (1 << CAST(b % 4 AS INT)) ELSE 0 END) AS nib
+  FROM votes GROUP BY doc_id, 2
+)
+SELECT doc_id,
+       string_agg(substr('0123456789abcdef', CAST(nib + 1 AS INT), 1), '' ORDER BY p) AS simhash
+FROM nibs GROUP BY doc_id"""
+
+
+def _ann_lsh_sql(dim: int = 64, n_planes: int = 4, n_tables: int = 4, k: int = 10) -> str:
+    """Multi-table hyperplane-LSH ANN with the md5-derived plane literals
+    inlined (same _hyperplanes family the Spark path uses); candidate =
+    bucket match in ANY table, exact cosine re-rank."""
+    from sheep_spark.ann import _hyperplanes
+
+    buckets = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed=7 + t)
+        bits = " || ".join(
+            "(CASE WHEN list_dot_product(e, ["
+            + ", ".join(repr(float(x)) for x in plane)
+            + "]) >= 0 THEN '1' ELSE '0' END)"
+            for plane in planes
+        )
+        buckets.append(f"({bits}) AS bucket_{t}")
+    qcols = ", ".join(f"bucket_{t} AS qb_{t}" for t in range(n_tables))
+    ccols = ", ".join(f"bucket_{t}" for t in range(n_tables))
+    match = " OR ".join(f"qb_{t} = bucket_{t}" for t in range(n_tables))
+    return f"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+b AS (SELECT vec_id, e, {", ".join(buckets)} FROM emb),
+q AS (SELECT vec_id AS query_id, e AS qe, {qcols} FROM b WHERE vec_id IN (0,1,2,3,4)),
+c AS (SELECT vec_id AS nid, e AS ce, {ccols} FROM b WHERE vec_id NOT IN (0,1,2,3,4)),
+cand AS (SELECT DISTINCT query_id, qe, nid, ce FROM q JOIN c ON ({match})),
+scored AS (SELECT query_id, nid AS neighbor_id,
+                  ROUND(list_cosine_similarity(qe, ce), 6) AS cosine FROM cand),
+ranked AS (SELECT query_id, neighbor_id, cosine,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+           FROM scored)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -540,4 +631,10 @@ def oracle_sql() -> dict[str, str]:
                           THEN 1 ELSE 0 END AS new_session
               FROM events)
             GROUP BY user_id""",
+        "label_propagation": _label_prop_sql(3),
+        "simhash": _simhash_sql(),
+        "ann_lsh_topk": _ann_lsh_sql(),
+        # q_pages_extract is self-checking (byte-identity per page inside
+        # the query); the oracle is the expected constant: all 500 match.
+        "pages_extract_identity": "SELECT 1 AS match, CAST(500 AS BIGINT) AS count",
     }

@@ -91,6 +91,19 @@ def lsh_bucket_expr(vec_col, planes) -> "F.Column":
     return F.concat(*bits)
 
 
+def _bucketed(embeddings: DataFrame, n_planes: int, n_tables: int,
+              id_col: str, vec_col: str) -> DataFrame:
+    """(nid, ce, bucket_0..bucket_{T-1}): one sign-bucket key per table."""
+    dim = len(embeddings.select(vec_col).first()[0])
+    emb = embeddings.select(
+        F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("ce")
+    )
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed=7 + t)
+        emb = emb.withColumn(f"bucket_{t}", lsh_bucket_expr(F.col("ce"), planes))
+    return emb
+
+
 def lsh_topk(
     embeddings: DataFrame, query_ids: list[int], k: int = 10, n_planes: int = 4,
     n_tables: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
@@ -99,29 +112,32 @@ def lsh_topk(
     a candidate matches if it shares the query's bucket in ANY table
     (classic multi-table LSH — single-table sign buckets are far too
     fine for weakly correlated vectors). Exact cosine re-rank on the
-    candidate union. At scale each table join is a shuffle on the bucket
-    key instead of a full cross join; recall rises with n_tables,
-    selectivity with n_planes."""
-    dim = len(embeddings.select(vec_col).first()[0])
-    emb = embeddings.select(
-        F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("ce")
-    )
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed=7 + t)
-        emb = emb.withColumn(f"bucket_{t}", lsh_bucket_expr(F.col("ce"), planes))
-    emb = emb.persist()
+    candidate union.
+
+    Physical plan (the part that must survive 100×): one EQUI-join per
+    table on that table's bucket column, then a union + dropDuplicates
+    of the candidate sets. Each per-table join hashes on the bucket key
+    — never a nested loop over all candidates (the OR-of-equalities
+    formulation degenerates to BroadcastNestedLoopJoin; see
+    tests/test_ann.py::test_lsh_plan_has_no_nested_loop)."""
+    emb = _bucketed(embeddings, n_planes, n_tables, id_col, vec_col).persist()
     queries = emb.where(F.col("nid").isin(query_ids)).select(
         F.col("nid").alias("query_id"),
         F.col("ce").alias("qe"),
         *[F.col(f"bucket_{t}").alias(f"qb_{t}") for t in range(n_tables)],
     )
     cands = emb.where(~F.col("nid").isin(query_ids))
-    match_any = None
-    for t in range(n_tables):
-        m = F.col(f"qb_{t}") == F.col(f"bucket_{t}")
-        match_any = m if match_any is None else (match_any | m)
-    scored = with_cosine(F.broadcast(queries).join(cands, on=match_any))
-    scored = scored.select(
+    per_table = [
+        F.broadcast(queries.select("query_id", "qe", F.col(f"qb_{t}").alias("bk")))
+        .join(cands.select("nid", "ce", F.col(f"bucket_{t}").alias("bk")), "bk")
+        .select("query_id", "qe", "nid", "ce")
+        for t in range(n_tables)
+    ]
+    matched = per_table[0]
+    for m in per_table[1:]:
+        matched = matched.unionAll(m)
+    matched = matched.dropDuplicates(["query_id", "nid"])
+    scored = with_cosine(matched).select(
         "query_id", F.col("nid").alias("neighbor_id"), F.round(F.col("cosine"), 6).alias("cosine")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -129,4 +145,39 @@ def lsh_topk(
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cosine", F.col("rn").cast("int").alias("rank"))
+    )
+
+
+def lsh_pairs(
+    embeddings: DataFrame, min_cosine: float = 0.8, n_planes: int = 8,
+    n_tables: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs near-duplicate mode — what an embedding-dedup pipeline
+    actually runs: per-table self-join on the bucket key (a shuffle on
+    the key, no driver state), union the tables, dedup, exact cosine
+    verify ≥ ``min_cosine``. Output (id_a < id_b, cosine).
+
+    Scale shape mirrors textops.minhash_lsh_pairs: candidate volume is
+    Σ_buckets |bucket|² per table — tune n_planes up to shrink buckets."""
+    emb = _bucketed(embeddings, n_planes, n_tables, id_col, vec_col).persist()
+    per_table = [
+        emb.select(F.col("nid").alias("id_a"), F.col("ce").alias("qe"),
+                   F.col(f"bucket_{t}").alias("bk"))
+        .join(
+            emb.select(F.col("nid").alias("id_b"), F.col("ce").alias("ce"),
+                       F.col(f"bucket_{t}").alias("bk")),
+            "bk",
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "qe", "ce")
+        for t in range(n_tables)
+    ]
+    cand = per_table[0]
+    for m in per_table[1:]:
+        cand = cand.unionAll(m)
+    cand = cand.dropDuplicates(["id_a", "id_b"])
+    return (
+        with_cosine(cand)
+        .select("id_a", "id_b", F.round(F.col("cosine"), 6).alias("cosine"))
+        .where(F.col("cosine") >= min_cosine)
     )

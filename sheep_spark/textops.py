@@ -179,20 +179,34 @@ def minhash_lsh_pairs(
 
 
 def simhash64(documents: DataFrame) -> DataFrame:
-    """64-bit SimHash over word shingles: bit b of the hash of each token
+    """True 64-bit SimHash over word shingles: bit b of the token hash
     votes ±1; sign of the tally sets bit b. Token hash = first 16 hex
-    chars of md5 (stable, engine-agnostic); implemented with JVM-side
-    bit arithmetic (no SQL oracle — verified by a python port in tests)."""
+    chars of md5 — split into two 32-bit halves (hi = chars 1-8,
+    lo = chars 9-16) so no signed-64 shift ever overflows. Output is the
+    16-hex-char digest string (most-significant nibble first): both
+    engines assemble the identical string, so the DuckDB oracle checks
+    it bit-for-bit. All JVM-side expressions, no UDFs."""
     toks = _doc_tokens(documents)
-    h64 = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
-    bits = toks.select("doc_id", h64.alias("h"))
+    md = F.md5(F.col("tok"))
+    hi = F.conv(F.substring(md, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(md, 9, 8), 16, 10).cast("long")
+    bits = toks.select("doc_id", hi.alias("hi"), lo.alias("lo"))
+
+    def bit(b: int):
+        col = F.col("lo") if b < 32 else F.col("hi")
+        return F.shiftright(col, b % 32).bitwiseAND(F.lit(1))
+
     votes = [
-        F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{b}")
-        for b in range(60)
+        F.sum(F.when(bit(b) == 1, 1).otherwise(-1)).alias(f"b{b}") for b in range(64)
     ]
     tallied = bits.groupBy("doc_id").agg(*votes)
-    sim = None
-    for b in range(60):
-        bit = F.when(F.col(f"b{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
-        sim = bit if sim is None else sim + bit
-    return tallied.select("doc_id", sim.cast("long").alias("simhash"))
+    # assemble hex chars, most-significant nibble (bits 63..60) first
+    chars = []
+    for p in range(16):  # char p covers bits [4*(15-p), 4*(15-p)+3]
+        base = 4 * (15 - p)
+        nib = None
+        for j in range(4):
+            piece = F.when(F.col(f"b{base + j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            nib = piece if nib is None else nib + piece
+        chars.append(F.substring(F.lit("0123456789abcdef"), nib + 1, 1))
+    return tallied.select("doc_id", F.concat(*chars).alias("simhash"))

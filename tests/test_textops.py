@@ -71,12 +71,12 @@ def test_simhash_matches_python_port(docs):
     pdf = docs.select("doc_id", "text").toPandas()
     for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
         toks = set(text.strip().lower().split())
-        tally = [0] * 60
+        tally = [0] * 64
         for t in toks:
-            h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
-            for b in range(60):
+            h = int(hashlib.md5(t.encode()).hexdigest()[:16], 16)
+            for b in range(64):
                 tally[b] += 1 if (h >> b) & 1 else -1
-        want = sum(2**b for b in range(60) if tally[b] > 0)
+        want = format(sum(1 << b for b in range(64) if tally[b] > 0), "016x")
         assert got[doc_id] == want
 
 
