@@ -31,19 +31,40 @@ CC_MOD = 7  # sparsifier for the CC query: dense enough for a small
 
 
 _GRAPH_CACHE: dict = {}
+_GRAPH_CACHE_MAX = 2  # bounded: evicted entries are unpersisted (ADVICE r1)
 
 
 def _graph(spark: SparkSession, sf_dir: str):
     """Memoized per (session, sf_dir): the driver runs every query in one
-    session, so the symmetrize + rank work (and its cache) is shared."""
+    session, so the symmetrize + rank work (and its cache) is shared.
+    Bounded LRU — long-lived sessions touching many sf_dirs don't
+    accumulate cached blocks."""
     from sheep_spark import graph
 
     key = (id(spark), sf_dir)
     if key not in _GRAPH_CACHE:
+        while len(_GRAPH_CACHE) >= _GRAPH_CACHE_MAX:
+            _, (e_old, v_old) = _GRAPH_CACHE.popitem()
+            for df in (e_old, v_old):
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass  # its session may already be stopped
         edges = graph.edges_from_tpch(spark, sf_dir, V_MOD).persist()
         verts = graph.vertices_from_edges(edges).persist()
         _GRAPH_CACHE[key] = (edges, verts)
     return _GRAPH_CACHE[key]
+
+
+def clear_graph_cache() -> None:
+    """Unpersist and drop every memoized graph (bench loops / REPLs)."""
+    while _GRAPH_CACHE:
+        _, (e, v) = _GRAPH_CACHE.popitem()
+        for df in (e, v):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
 
 
 def _naive_meta(spark: SparkSession, sf_dir: str):

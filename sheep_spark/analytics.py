@@ -107,77 +107,111 @@ def pagerank(
     return state.select("vid", "rank"), info
 
 
-def connected_components(
-    edges_sym: DataFrame, max_iter: int = 200, checkpointer=None
-) -> tuple[DataFrame, dict]:
-    """Star-contraction (Boruvka-style) connected components →
-    labels(vid, component), component = min vid in the component. The
-    distributed analogue of the reference's in-memory union-find
-    (lib/unionfind.h:34-103), in O(log V) rounds:
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al., "Connected Components in
+    MapReduce and Beyond"): for each vertex u, connect every LARGER
+    neighbor to m = min(Γ(u) ∪ {u}). Input/output: canonical parent
+    edges (src > dst). One groupBy + one join — both shuffles on the
+    vertex key."""
+    sym = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    mins = sym.groupBy("src").agg(F.least(F.col("src"), F.min("dst")).alias("m"))
+    return (
+        sym.join(mins, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
 
-    each round every vertex of the CONTRACTED graph takes label
-    s(v) = min(v, min neighbor); the vid→label map composes through the
-    contraction, and the contracted edge set (s(a), s(b)), a≠b shrinks
-    geometrically until empty. Rounds are edge-sized shuffles — no
-    diameter dependence (the naive min-propagation needs O(diameter)
-    rounds, hopeless on path-like graphs).
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star round: for each vertex u, connect every SMALLER
+    neighbor (and u itself) to m = min of the smaller neighborhood.
+    Input/output: canonical parent edges (src > dst)."""
+    mins = e.groupBy("src").agg(F.min("dst").alias("m"))
+    rewired = (
+        e.join(mins, "src")
+        .where(F.col("dst") != F.col("m"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+    self_edge = mins.select("src", F.col("m").alias("dst"))
+    return rewired.unionAll(self_edge).distinct()
+
+
+def connected_components(
+    edges_sym: DataFrame, max_iter: int = 50, checkpointer=None
+) -> tuple[DataFrame, dict]:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al. 2014) → labels(vid, component),
+    component = min vid in the component — the distributed analogue of
+    the reference's in-memory union-find (lib/unionfind.h:34-103).
+
+    Each round rewires every edge toward the minimum of a local
+    neighborhood; the edge set converges to min-rooted stars in
+    O(log² V) rounds worst-case (O(log V) observed), INDEPENDENT of
+    graph diameter — unlike naive min-label propagation (O(diameter))
+    or single-sided min contraction, which shrinks path graphs by only
+    ~1 vertex per round. Rounds are edge-sized shuffles keyed on
+    vertices. Convergence = the canonical edge set reaches a fixpoint
+    (count + order-insensitive xxhash both stable).
+
+    If ``max_iter`` rounds pass without a fixpoint (a deliberately
+    bounded run, e.g. kill/resume tests), a RuntimeWarning is emitted
+    and ``info["converged"]`` is False — callers must not treat the
+    labels as final (they previously got silently-wrong labels; ADVICE
+    r1). Partial labels are still a function of vid (min-aggregated).
     """
     edges = _prepare_edges(edges_sym)
-    labels = edges.select(F.col("src").alias("vid")).distinct().select(
-        "vid", F.col("vid").alias("component")
-    )
+    e = edges.where(F.col("src") > F.col("dst")).select("src", "dst")
     start_iter = 0
     if checkpointer is not None:
         resumed = checkpointer.latest()
         if resumed is not None:
-            start_iter, labels = resumed[0] + 1, resumed[1]
-    labels = labels.persist()
+            start_iter, e = resumed[0] + 1, resumed[1].select("src", "dst")
+    e = e.localCheckpoint(eager=True)
 
-    # contracted graph (symmetric, no self loops); rebuilt from labels on
-    # resume so checkpoints only need the label map
-    g = (
-        edges.join(labels.select(F.col("vid").alias("src"), F.col("component").alias("ca")), "src")
-        .join(labels.select(F.col("vid").alias("dst"), F.col("component").alias("cb")), "dst")
-        .where(F.col("ca") != F.col("cb"))
-        .select(F.col("ca").alias("src"), F.col("cb").alias("dst"))
-        .distinct()
-        .persist()
-        if start_iter
-        else edges.persist()
-    )
+    def stats(df: DataFrame) -> tuple[int, int]:
+        # order-insensitive digest; decimal(38,0) so the sum of 2^63-scale
+        # hashes can't hit ANSI long overflow at any row count
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        return int(row["n"]), int(row["h"])
 
-    info = {"iterations": 0, "changed": None}
+    prev = stats(e)
+    info = {"iterations": 0, "changed": prev[0], "converged": prev[0] == 0}
     for it in range(start_iter, max_iter):
-        star = g.groupBy("src").agg(F.least(F.col("src"), F.min("dst")).alias("lbl")).persist()
-        new_labels = (
-            labels.join(star.withColumnRenamed("src", "component"), "component", "left")
-            .select("vid", F.coalesce("lbl", "component").alias("component"))
-        )
-        new_g = (
-            g.join(star.select(F.col("src"), F.col("lbl").alias("la")), "src")
-            .join(star.select(F.col("src").alias("dst"), F.col("lbl").alias("lb")), "dst")
-            .where(F.col("la") != F.col("lb"))
-            .select(F.col("la").alias("src"), F.col("lb").alias("dst"))
-            .distinct()
-        )
-        # labels references BOTH the star and g lineages → its logical
-        # plan doubles per round; eager-truncate it every round (V-sized,
-        # cheap). g is materialized by count() below with a lazy truncate.
-        new_labels = new_labels.localCheckpoint(eager=True)
-        new_g = new_g.localCheckpoint(eager=False).persist()
-        remaining = new_g.count()
-        labels.unpersist()
-        g.unpersist()
-        star.unpersist()
-        labels, g = new_labels, new_g
+        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        cur = stats(e2)
+        e = e2
         info["iterations"] = it + 1
-        info["changed"] = remaining
+        info["changed"] = cur[0]
         if checkpointer is not None:
-            checkpointer.save(it, labels, {"changed": remaining})
-        if remaining == 0:
+            checkpointer.save(it, e, {"edges": cur[0]})
+        if cur == prev:
+            info["converged"] = True
+            info["changed"] = 0  # fixpoint: the last round changed nothing
             break
+        prev = cur
     edges.unpersist()
-    g.unpersist()
+    if not info["converged"]:
+        import warnings
+
+        warnings.warn(
+            f"connected_components: no fixpoint after {max_iter} rounds "
+            f"({info['changed']} edges remain) — labels are PARTIAL; "
+            "raise max_iter or resume from the checkpoint",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    labels = (
+        e.select(F.col("src").alias("vid"), F.col("dst").alias("component"))
+        .unionAll(e.select(F.col("dst").alias("vid"), F.col("dst").alias("component")))
+        .groupBy("vid")
+        .agg(F.min("component").alias("component"))
+    )
     return labels, info
 
 
@@ -231,11 +265,14 @@ def triangle_count(edges_sym: DataFrame, vertices: DataFrame) -> int:
     return int(row["n"])
 
 
-def triangles_per_edge_base(edges_sym: DataFrame, vertices: DataFrame) -> DataFrame:
+def triangles_per_edge_base(edges_sym: DataFrame, vertices: DataFrame,
+                            n_vertices: int | None = None) -> DataFrame:
     """One row per triangle (a<b<c in pos space). Orientation: every edge
     directed from lower to higher pos, so each triangle is counted exactly
     once and hub fan-out is bounded by in-ascending-degree wedges."""
-    v = F.broadcast(vertices.select("vid", "pos"))
+    from .graph import maybe_broadcast
+
+    v = maybe_broadcast(vertices.select("vid", "pos"), n_rows=n_vertices)
     e = (
         edges_sym.join(v.withColumnRenamed("vid", "src").withColumnRenamed("pos", "pa"), "src")
         .join(v.withColumnRenamed("vid", "dst").withColumnRenamed("pos", "pb"), "dst")

@@ -40,17 +40,30 @@ CSR_SCHEMA = (
 
 
 def build_csr_blocks(
-    edges_sym: DataFrame, vmeta: DataFrame, max_edges_per_block: int = 4_000_000
+    edges_sym: DataFrame,
+    vmeta: DataFrame,
+    max_edges_per_block: int = 4_000_000,
+    bucket_vertices: int = 2_000_000,
+    n_vertices: int | None = None,
 ) -> DataFrame:
-    """Group symmetrized edges by the part of their src vertex and build
-    numpy CSR sub-blocks (applyInPandas — Arrow in, Arrow out)."""
-    e = edges_sym.join(
-        F.broadcast(vmeta.select(F.col("vid").alias("src"), F.col("pos").alias("pos_src"), "part")),
-        "src",
+    """Group symmetrized edges by (part, pos-range bucket) and build numpy
+    CSR sub-blocks (applyInPandas — Arrow in, Arrow out).
+
+    The pos-range bucket (``bucket_vertices`` vertices wide, vertex-
+    aligned because every edge of a vertex shares pos_src) bounds the
+    pandas group a single executor materializes — without it the whole
+    part's edge set lands in one Arrow group and ``max_edges_per_block``
+    only bounds the OUTPUT rows, not peak build memory (ADVICE r1)."""
+    from .graph import maybe_broadcast
+
+    meta = vmeta.select(F.col("vid").alias("src"), F.col("pos").alias("pos_src"), "part")
+    e = edges_sym.join(maybe_broadcast(meta, n_rows=n_vertices), "src").withColumn(
+        "bucket", (F.col("pos_src") / bucket_vertices).cast("long")
     )
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         part = int(pdf["part"].iloc[0])
+        bucket_base = int(pdf["bucket"].iloc[0]) << 20  # block ids unique per part
         order = np.lexsort((pdf["dst"].to_numpy(), pdf["pos_src"].to_numpy()))
         src = pdf["src"].to_numpy()[order]
         dst = pdf["dst"].to_numpy()[order]
@@ -74,7 +87,7 @@ def build_csr_blocks(
             rows.append(
                 (
                     part,
-                    block_id,
+                    bucket_base + block_id,
                     vids_sorted.tolist(),
                     deg.tolist(),
                     indptr.tolist(),
@@ -88,9 +101,9 @@ def build_csr_blocks(
             rows, columns=["part", "block", "vids", "deg", "indptr", "out_idx", "out_vids"]
         )
 
-    return e.select("src", "dst", "pos_src", "part").groupBy("part").applyInPandas(
-        build, CSR_SCHEMA
-    )
+    return e.select("src", "dst", "pos_src", "part", "bucket").groupBy(
+        "part", "bucket"
+    ).applyInPandas(build, CSR_SCHEMA)
 
 
 def pagerank_csr(
@@ -103,10 +116,12 @@ def pagerank_csr(
     """PageRank over CSR blocks: scatter inside numpy per block, shuffle
     only per-block-aggregated (dst, partial) rows. Semantics identical to
     analytics.pagerank (symmetrized graph → no dangling mass)."""
+    from .graph import maybe_broadcast
+
     spark = csr_blocks.sparkSession
     blocks = csr_blocks.persist()
-    part_map = F.broadcast(vmeta.select("vid", "part"))
     n = vmeta.count()
+    part_map = maybe_broadcast(vmeta.select("vid", "part"), n_rows=n)
 
     state = vmeta.select("vid", "part").withColumn("rank", F.lit(1.0 / n)).persist()
     info = {"iterations": 0, "l1_delta": None, "superstep_secs": [], "n_vertices": n}
@@ -116,23 +131,30 @@ def pagerank_csr(
         t0 = time.time()
 
         def step(block_pdf: pd.DataFrame, rank_pdf: pd.DataFrame) -> pd.DataFrame:
+            """Pure-numpy gather-scatter: one rank gather per block via an
+            index-aligned Series (no per-vertex Python), bincount scatter,
+            then a vectorized unique+bincount combine across sub-blocks.
+            The only Python loop is over the handful of sub-block rows."""
             if block_pdf.empty or rank_pdf.empty:
                 return pd.DataFrame({"vid": [], "acc": []})
-            rank_of = dict(zip(rank_pdf["vid"], rank_pdf["rank"]))
-            outs = []
-            for _, row in block_pdf.iterrows():
-                vids = np.asarray(row["vids"], dtype=np.int64)
-                deg = np.asarray(row["deg"], dtype=np.int64)
-                indptr = np.asarray(row["indptr"], dtype=np.int64)
-                out_idx = np.asarray(row["out_idx"], dtype=np.int64)
-                out_vids = np.asarray(row["out_vids"], dtype=np.int64)
-                ranks = np.array([rank_of[v] for v in vids], dtype=np.float64)
-                contrib = ranks / deg
-                per_edge = np.repeat(contrib, np.diff(indptr))
-                sums = np.bincount(out_idx, weights=per_edge, minlength=len(out_vids))
-                outs.append(pd.DataFrame({"vid": out_vids, "acc": sums}))
-            out = pd.concat(outs)
-            return out.groupby("vid", as_index=False)["acc"].sum()
+            rank_s = pd.Series(
+                rank_pdf["rank"].to_numpy(np.float64),
+                index=rank_pdf["vid"].to_numpy(np.int64),
+            )
+            out_v, out_a = [], []
+            for row in block_pdf.itertuples(index=False):
+                vids = np.asarray(row.vids, dtype=np.int64)
+                deg = np.asarray(row.deg, dtype=np.int64)
+                out_idx = np.asarray(row.out_idx, dtype=np.int64)
+                out_vids = np.asarray(row.out_vids, dtype=np.int64)
+                ranks = rank_s.reindex(vids).to_numpy(np.float64)
+                per_edge = np.repeat(ranks / deg, deg)
+                out_v.append(out_vids)
+                out_a.append(np.bincount(out_idx, weights=per_edge, minlength=len(out_vids)))
+            v = np.concatenate(out_v)
+            uv, inv = np.unique(v, return_inverse=True)
+            acc = np.bincount(inv, weights=np.concatenate(out_a))
+            return pd.DataFrame({"vid": uv, "acc": acc})
 
         scattered = (
             blocks.groupby("part")

@@ -31,8 +31,11 @@ def _cormen(col):
 
 
 def joined_edges(edges_sym: DataFrame, vmeta: DataFrame, broadcast_meta: bool = True) -> DataFrame:
-    """Symmetrized edges annotated with (pos, part) of both endpoints."""
-    v = F.broadcast(vmeta) if broadcast_meta else vmeta
+    """Symmetrized edges annotated with (pos, part) of both endpoints.
+    The broadcast hint is size-guarded (graph.maybe_broadcast)."""
+    from .graph import maybe_broadcast
+
+    v = maybe_broadcast(vmeta) if broadcast_meta else vmeta
     a = v.select(F.col("vid").alias("src"), F.col("pos").alias("pos_a"), F.col("part").alias("part_a"))
     b = v.select(F.col("vid").alias("dst"), F.col("pos").alias("pos_b"), F.col("part").alias("part_b"))
     return edges_sym.join(a, "src").join(b, "dst")

@@ -32,6 +32,24 @@ from pyspark.sql import functions as F
 # so the DuckDB oracle can reproduce it exactly.
 V_MOD = 4999
 
+# Above this row count a "small side" stops being broadcastable (~100s of
+# MB serialized) and the join must fall back to shuffle/sort-merge so both
+# sides co-partition on the key. Every vertex-table broadcast in the
+# engine routes through maybe_broadcast with this default.
+BROADCAST_ROW_LIMIT = 10_000_000
+
+
+def maybe_broadcast(df: DataFrame, n_rows: int | None = None,
+                    limit: int = BROADCAST_ROW_LIMIT) -> DataFrame:
+    """Broadcast hint only when the side is actually small.
+
+    ``n_rows`` is the caller's (usually already-known) row count; when
+    None it is computed — pass it in hot paths. At 10^9 vertices the
+    hint is dropped and Catalyst/AQE pick a shuffle join."""
+    if n_rows is None:
+        n_rows = df.count()
+    return F.broadcast(df) if n_rows <= limit else df
+
 
 def symmetrize(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Double, drop self loops, dedup → the engine's canonical edge table.
@@ -58,7 +76,10 @@ def attach_rank(df: DataFrame, order_cols: list[str], out: str = "pos") -> DataF
     ranged = ranged.persist()
     counts = {r["_pid"]: r["cnt"] for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
     if not counts:  # empty input → empty output with the rank column typed
-        return ranged.withColumn(out, F.lit(None).cast("long")).drop("_pid")
+        empty = ranged.withColumn(out, F.lit(None).cast("long")).drop("_pid")
+        empty = empty.localCheckpoint(eager=True)
+        ranged.unpersist()
+        return empty
     offsets, acc = {}, 0
     for pid in sorted(counts):
         offsets[pid] = acc
@@ -71,6 +92,12 @@ def attach_rank(df: DataFrame, order_cols: list[str], out: str = "pos") -> DataF
         out,
         (F.row_number().over(w) - 1 + off_expr[F.col("_pid")]).cast("long"),
     ).drop("_pid")
+    # Eagerly materialize so the ranged cache can be released NOW: the
+    # range boundaries came from sampling, so out_df must never be
+    # recomputed from an unpersisted ranged (offsets could shift), and
+    # leaving ranged cached leaks a V-sized block per call (ADVICE r1).
+    out_df = out_df.localCheckpoint(eager=True)
+    ranged.unpersist()
     return out_df
 
 
@@ -86,19 +113,21 @@ def vertices_from_edges(edges_sym: DataFrame) -> DataFrame:
     return attach_rank(deg, ["degree", "vid"], out="pos")
 
 
-def edges_pos(edges_sym: DataFrame, vertices: DataFrame) -> DataFrame:
+def edges_pos(edges_sym: DataFrame, vertices: DataFrame,
+              n_vertices: int | None = None) -> DataFrame:
     """Each undirected edge once, in sequence space: (lo, hi) with lo < hi
     being the endpoint *positions*. This is the input to the tree builder
     and the down-assignment rule (partition.cpp:505, :623).
 
-    The vertex table is broadcast when small; at 10^9-vertex scale remove
-    the hint and let sort-merge/shuffle-hash join co-partition on vid.
+    The vertex table is broadcast only under BROADCAST_ROW_LIMIT
+    (maybe_broadcast); beyond that sort-merge/shuffle-hash join
+    co-partitions on vid.
     """
-    v = vertices.select("vid", "pos")
+    v = maybe_broadcast(vertices.select("vid", "pos"), n_rows=n_vertices)
     once = edges_sym.where(F.col("src") < F.col("dst"))
     j = (
-        once.join(F.broadcast(v).withColumnRenamed("vid", "src").withColumnRenamed("pos", "pos_src"), "src")
-        .join(F.broadcast(v).withColumnRenamed("vid", "dst").withColumnRenamed("pos", "pos_dst"), "dst")
+        once.join(v.withColumnRenamed("vid", "src").withColumnRenamed("pos", "pos_src"), "src")
+        .join(v.withColumnRenamed("vid", "dst").withColumnRenamed("pos", "pos_dst"), "dst")
     )
     return j.select(
         F.least("pos_src", "pos_dst").alias("lo"),

@@ -24,13 +24,25 @@ XS1_DTYPE = np.dtype([("tail", "<u4"), ("head", "<u4"), ("weight", "<f4")])
 
 
 def read_snap(spark: SparkSession, path: str) -> DataFrame:
-    df = (
-        spark.read.option("comment", "#")
-        .option("delimiter", " ")
-        .schema("src long, dst long")
-        .csv(path)
+    """SNAP edge-list source tolerant of real-world whitespace: lines are
+    split on ``\\s+`` (tabs, runs of spaces), '#' comments skipped. Fails
+    loudly when a nonempty file yields zero parsed edges instead of
+    silently returning an empty graph (ADVICE r1)."""
+    raw = spark.read.text(path)
+    lines = raw.select(F.trim(F.col("value")).alias("line")).where(
+        (F.length("line") > 0) & ~F.col("line").startswith("#")
     )
-    return df.where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    toks = F.split(F.col("line"), r"\s+")
+    df = lines.select(
+        F.element_at(toks, 1).cast("long").alias("src"),
+        F.element_at(toks, 2).cast("long").alias("dst"),
+    ).where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    if df.isEmpty() and not lines.isEmpty():
+        raise ValueError(
+            f"read_snap: {path} has data lines but none parsed as "
+            "'<int><ws><int>' — wrong format or delimiter?"
+        )
+    return df
 
 
 def write_snap(edges: DataFrame, path: str) -> None:

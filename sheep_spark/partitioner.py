@@ -209,13 +209,16 @@ def sheep_partition(tree_df: DataFrame, vertices: DataFrame, num_parts: int,
     """End-to-end: tree DF → FFD pack on driver → ``assign(vid, part)``.
 
     jnid→vid re-index mirrors partition.cpp:62-66 (jnid == pos)."""
+    from .graph import maybe_broadcast
+
     spark = tree_df.sparkSession
     parent, weight = tree_to_arrays(tree_df)
     parts, _ = forward_partition(parent, weight, num_parts, balance_factor)
     assign = spark.createDataFrame(
         [(int(j), int(p)) for j, p in enumerate(parts)], "pos long, part int"
     )
-    return vertices.select("vid", "pos").join(F.broadcast(assign), "pos").select("vid", "part")
+    assign = maybe_broadcast(assign, n_rows=len(parts))
+    return vertices.select("vid", "pos").join(assign, "pos").select("vid", "part")
 
 
 def naive_partition(vertices: DataFrame, num_parts: int) -> DataFrame:
@@ -241,6 +244,7 @@ def fennel_partition(
     num_parts: int,
     balance_factor: float = 1.03,
     edge_balanced: bool = True,
+    max_driver_edges: int = 20_000_000,
 ) -> DataFrame:
     """Greedy streaming FENNEL (partition.cpp:282-329; KDD14 objective
     when edge_balanced): place each vertex (vid ascending, the
@@ -256,6 +260,15 @@ def fennel_partition(
     import numpy as np
 
     spark = edges_sym.sparkSession
+    n_directed = edges_sym.count()
+    if n_directed > max_driver_edges:
+        raise ValueError(
+            f"fennel_partition collects the edge table to the driver "
+            f"({n_directed} directed edges > cap {max_driver_edges}). It is "
+            "the serial comparison baseline, like the reference's; use "
+            "sheep_partition (tree + FFD) as the at-scale partitioner, or "
+            "raise max_driver_edges explicitly if you have the driver RAM."
+        )
     epdf = edges_sym.toPandas()
     n_nodes = vertices.count()
     m_directed = float(len(epdf))
@@ -308,8 +321,12 @@ def vertex_meta(vertices: DataFrame, assign: DataFrame) -> DataFrame:
 def down_assign(edges_sym: DataFrame, vmeta: DataFrame, broadcast_meta: bool = True) -> DataFrame:
     """``edge_parts(src, dst, part)`` — each undirected edge exactly once
     (src < dst by vid, partition.cpp:615-617), owned by the part of its
-    lower-pos endpoint (partition.cpp:623)."""
-    v = F.broadcast(vmeta) if broadcast_meta else vmeta
+    lower-pos endpoint (partition.cpp:623). ``broadcast_meta=True`` still
+    routes through maybe_broadcast, so an over-limit vmeta falls back to
+    a shuffle join rather than a driver-sized broadcast."""
+    from .graph import maybe_broadcast
+
+    v = maybe_broadcast(vmeta) if broadcast_meta else vmeta
     a = v.select(F.col("vid").alias("src"), F.col("pos").alias("pos_a"), F.col("part").alias("part_a"))
     b = v.select(F.col("vid").alias("dst"), F.col("pos").alias("pos_b"), F.col("part").alias("part_b"))
     once = edges_sym.where(F.col("src") < F.col("dst"))

@@ -48,6 +48,30 @@ def test_connected_components_exact(spark):
     assert info["changed"] == 0
 
 
+def test_connected_components_path_graph_logarithmic(spark):
+    """Diameter-independence regression (ADVICE r1): a 400-vertex path has
+    diameter 399; star contraction must label it in O(log V) rounds, not
+    O(diameter). Single-sided min contraction shrinks paths ~1 vertex
+    per round and would blow the round budget here."""
+    n = 400
+    sym = edges_df(spark, [(i, i + 1) for i in range(n - 1)])
+    labels, info = analytics.connected_components(sym, max_iter=25)
+    assert info["converged"] and info["iterations"] <= 25
+    got = {r.vid: r.component for r in labels.collect()}
+    assert got == {v: 0 for v in range(n)}
+
+
+def test_connected_components_unconverged_warns(spark):
+    import warnings
+
+    sym = edges_df(spark, [(i, i + 1) for i in range(64)])
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        _, info = analytics.connected_components(sym, max_iter=1)
+    assert not info["converged"]
+    assert any(issubclass(x.category, RuntimeWarning) for x in w)
+
+
 def test_connected_components_random_vs_unionfind(spark):
     edges = random_graph(150, 160, seed=17)  # sparse → several components
     sym = edges_df(spark, edges)

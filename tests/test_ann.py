@@ -52,3 +52,33 @@ def test_lsh_recall_against_exact(emb):
     # deterministic across runs
     lsh2 = {(r.query_id, r.neighbor_id) for r in ann.lsh_topk(emb, QUERIES, k=10).collect()}
     assert lsh == lsh2
+
+
+def test_lsh_plan_has_no_nested_loop(emb):
+    """The multi-table match must execute as per-table equi-joins on the
+    bucket key — an OR-of-equalities condition degenerates to
+    BroadcastNestedLoopJoin and LSH saves nothing (VERDICT r1)."""
+    plan = ann.lsh_topk(emb, QUERIES, k=10)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lsh_pairs_all_pairs_mode(emb):
+    """All-pairs bucket mode: every reported pair really clears the
+    cosine bar (verified against numpy), ids canonical a<b, no dupes."""
+    got = ann.lsh_pairs(emb, min_cosine=0.2, n_planes=2, n_tables=4).collect()
+    assert len(got) == len({(r.id_a, r.id_b) for r in got})
+    pdf = emb.toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    lookup = {int(v): i for i, v in enumerate(ids)}
+    for r in got:
+        assert r.id_a < r.id_b
+        want = round(float(mat[lookup[r.id_a]] @ mat[lookup[r.id_b]]), 6)
+        assert abs(r.cosine - want) < 1e-6
+        assert r.cosine >= 0.2
+    # plan check: self-joins are bucket-key equi-joins too
+    plan = ann.lsh_pairs(emb, 0.2, 2, 4)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
