@@ -22,12 +22,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# cormen multiplicative hash (partition.cpp:423-427): k * floor((sqrt(5)-1)/2 * 2^32) mod 2^32
+# multiplicative hashes for the ECV(hash) owner rule:
+# cormen (partition.cpp:423-427): k * floor((sqrt(5)-1)/2 * 2^32) mod 2^32
+# knuth  (partition.cpp:414-421): k * 2654435761 mod 2^32
 _CORMEN_S = 2654435769
+_KNUTH_S = 2654435761
+_HASH_CONSTS = {"cormen": _CORMEN_S, "knuth": _KNUTH_S}
 
 
-def _cormen(col):
-    return F.pmod(col * F.lit(_CORMEN_S), F.lit(2**32))
+def _mult_hash(col, hash_fn: str):
+    return F.pmod(col * F.lit(_HASH_CONSTS[hash_fn]), F.lit(2**32))
 
 
 def joined_edges(edges_sym: DataFrame, vmeta: DataFrame, broadcast_meta: bool = True) -> DataFrame:
@@ -49,7 +53,8 @@ def _sum_distinct_minus_one(pairs: DataFrame, key: str, val: str) -> int:
     return int(row["s"])
 
 
-def evaluate(edges_sym: DataFrame, vmeta: DataFrame, broadcast_meta: bool = True) -> dict:
+def evaluate(edges_sym: DataFrame, vmeta: DataFrame, broadcast_meta: bool = True,
+             hash_fn: str = "cormen") -> dict:
     """Full metric dict in THREE jobs over one cached edge-join:
     (1) scalar counts, (2) all per-vertex distinct-owner sums via a
     metric-tagged union, (3) all per-part max loads likewise. The tagged
@@ -60,9 +65,10 @@ def evaluate(edges_sym: DataFrame, vmeta: DataFrame, broadcast_meta: bool = True
     try:
         down_owner = F.when(F.col("pos_a") < F.col("pos_b"), F.col("part_a")).otherwise(F.col("part_b"))
         up_owner = F.when(F.col("pos_a") > F.col("pos_b"), F.col("part_a")).otherwise(F.col("part_b"))
-        hash_owner = F.when(_cormen(F.col("src")) < _cormen(F.col("dst")), F.col("part_a")).otherwise(
-            F.col("part_b")
-        )
+        hash_owner = F.when(
+            _mult_hash(F.col("src"), hash_fn) < _mult_hash(F.col("dst"), hash_fn),
+            F.col("part_a"),
+        ).otherwise(F.col("part_b"))
 
         scalars = j.agg(
             F.count("*").alias("n_directed"),
@@ -130,7 +136,8 @@ def evaluate(edges_sym: DataFrame, vmeta: DataFrame, broadcast_meta: bool = True
         j.unpersist()
 
 
-def evaluate_oracle(edges: list[tuple[int, int]], pos: dict[int, int], part: dict[int, int]) -> dict:
+def evaluate_oracle(edges: list[tuple[int, int]], pos: dict[int, int], part: dict[int, int],
+                    hash_fn: str = "cormen") -> dict:
     """Pure-python port of the evaluator semantics (partition.cpp:428-521)
     for tests: exact, per the reference's nested-loop definition."""
     adj: dict[int, set[int]] = {}
@@ -141,7 +148,7 @@ def evaluate_oracle(edges: list[tuple[int, int]], pos: dict[int, int], part: dic
         adj.setdefault(b, set()).add(a)
 
     def cormen(k: int) -> int:
-        return (k * _CORMEN_S) % 2**32
+        return (k * _HASH_CONSTS[hash_fn]) % 2**32
 
     edges_cut = vcom = ecv_down = ecv_up = ecv_hash = 0
     down_bal: dict[int, int] = {}

@@ -33,9 +33,11 @@ def read_snap(spark: SparkSession, path: str) -> DataFrame:
         (F.length("line") > 0) & ~F.col("line").startswith("#")
     )
     toks = F.split(F.col("line"), r"\s+")
+    # try_cast: malformed tokens become NULL rows (filtered) instead of an
+    # ANSI cast error mid-scan; the all-null case is caught loudly below
     df = lines.select(
-        F.element_at(toks, 1).cast("long").alias("src"),
-        F.element_at(toks, 2).cast("long").alias("dst"),
+        F.element_at(toks, 1).try_cast("long").alias("src"),
+        F.element_at(toks, 2).try_cast("long").alias("dst"),
     ).where(F.col("src").isNotNull() & F.col("dst").isNotNull())
     if df.isEmpty() and not lines.isEmpty():
         raise ValueError(
@@ -83,6 +85,37 @@ def write_xs1(edges: DataFrame, path: str) -> None:
     rec["weight"] = 0.0
     with open(path, "wb") as f:
         f.write(rec.tobytes())
+
+
+def write_sequence_text(vertices: DataFrame, path: str) -> None:
+    """Text sequence sink (writeTextSequence, sequence.h:153-157): one vid
+    per line in pos(jnid) order. Single-file by contract — interop with
+    the reference's readTextSequence, test scale; the scale sink is
+    tree.save_sequence (parquet)."""
+    vertices.select("vid", "pos").repartition(1).sortWithinPartitions("pos").select(
+        F.col("vid").cast("string").alias("value")
+    ).write.mode("overwrite").text(path)
+
+
+def read_sequence_text(spark: SparkSession, path: str) -> DataFrame:
+    """(pos, vid) from a text sequence file: line number == pos
+    (readTextSequence, sequence.h:160-170)."""
+    from .graph import attach_rank
+
+    lines = spark.read.text(path).select(F.col("value").cast("long").alias("vid"))
+    ranked = attach_rank(
+        lines.withColumn("rid", F.monotonically_increasing_id()), ["rid"], out="pos"
+    )
+    return ranked.select("pos", "vid")
+
+
+def write_partition_vector_text(vmeta: DataFrame, path: str) -> None:
+    """Text partition-vector sink: one part id per line in pos(jnid)
+    order — the file readPartition consumes (partition.h:116-123).
+    Single-file interop writer; the scale sink is write_partitioned."""
+    vmeta.select("pos", "part").repartition(1).sortWithinPartitions("pos").select(
+        F.col("part").cast("string").alias("value")
+    ).write.mode("overwrite").text(path)
 
 
 def read_partition_vector(spark: SparkSession, path: str) -> DataFrame:

@@ -204,15 +204,41 @@ def tree_to_arrays(tree_df: DataFrame) -> tuple[np.ndarray, np.ndarray]:
     return parent, weight
 
 
+def tree_weight_array(tree_df: DataFrame, vtx_weight: bool = False,
+                      pst_weight: bool = True, pre_weight: bool = False) -> np.ndarray:
+    """Per-node packing weight under the reference's flag set
+    (get_weight, partition.cpp:38-48): vtx adds 1 per node
+    (vertex-balanced parts), pst adds the post-degree (edge-balanced,
+    the default), pre adds the pre-degree (requires a tree built with
+    ``with_pre_weight=True``; see build_tree for the kids-sum identity)."""
+    cols = ["jnid", "pst_weight"] + (["pre_weight"] if pre_weight else [])
+    pdf = tree_df.select(*cols).toPandas()
+    n = len(pdf)
+    weight = np.zeros(n, dtype=np.int64)
+    jn = pdf["jnid"].to_numpy()
+    if vtx_weight:
+        weight += 1
+    if pst_weight:
+        weight[jn] += pdf["pst_weight"].to_numpy().astype(np.int64)
+    if pre_weight:
+        weight[jn] += pdf["pre_weight"].to_numpy().astype(np.int64)
+    return weight
+
+
 def sheep_partition(tree_df: DataFrame, vertices: DataFrame, num_parts: int,
-                    balance_factor: float = 1.03) -> DataFrame:
+                    balance_factor: float = 1.03, vtx_weight: bool = False,
+                    pst_weight: bool = True, pre_weight: bool = False) -> DataFrame:
     """End-to-end: tree DF → FFD pack on driver → ``assign(vid, part)``.
 
-    jnid→vid re-index mirrors partition.cpp:62-66 (jnid == pos)."""
+    jnid→vid re-index mirrors partition.cpp:62-66 (jnid == pos). The
+    weight flags mirror partition.h:51-52 (defaults: pst only =
+    edge-balanced parts; vtx_weight=True gives vertex-balanced packs)."""
     from .graph import maybe_broadcast
 
     spark = tree_df.sparkSession
     parent, weight = tree_to_arrays(tree_df)
+    if (vtx_weight, pst_weight, pre_weight) != (False, True, False):
+        weight = tree_weight_array(tree_df, vtx_weight, pst_weight, pre_weight)
     parts, _ = forward_partition(parent, weight, num_parts, balance_factor)
     assign = spark.createDataFrame(
         [(int(j), int(p)) for j, p in enumerate(parts)], "pos long, part int"
@@ -354,3 +380,32 @@ def isomorphic_ids(vmeta: DataFrame) -> DataFrame:
     from .graph import attach_rank
 
     return attach_rank(vmeta, ["part", "pos"], out="new_vid").select("vid", "new_vid")
+
+
+def write_isomorphic(edges_sym: DataFrame, vmeta: DataFrame, path: str,
+                     fmt: str = "parquet", n_vertices: int | None = None) -> None:
+    """The full isomorphic-graph sink (partition.cpp:528-586): relabel
+    every vid to the dense (part, pos)-stable order so part[X] < part[Y]
+    ⇒ X < Y, then write each undirected edge exactly once with the
+    smaller NEW id first, sorted by (src, dst) — the relabeled graph is
+    directly loadable as a new input whose vid order equals the
+    partition order. fmt: 'parquet' (scale sink) or 'snap' (text
+    interop with the reference's readers)."""
+    from .graph import maybe_broadcast
+
+    ids = maybe_broadcast(isomorphic_ids(vmeta), n_rows=n_vertices)
+    once = edges_sym.where(F.col("src") < F.col("dst"))
+    relabeled = (
+        once.join(ids.withColumnRenamed("vid", "src").withColumnRenamed("new_vid", "na"), "src")
+        .join(ids.withColumnRenamed("vid", "dst").withColumnRenamed("new_vid", "nb"), "dst")
+        .select(F.least("na", "nb").alias("src"), F.greatest("na", "nb").alias("dst"))
+        .orderBy("src", "dst")
+    )
+    if fmt == "parquet":
+        relabeled.write.mode("overwrite").parquet(path)
+    elif fmt == "snap":
+        from .io import write_snap
+
+        write_snap(relabeled.repartition(1).sortWithinPartitions("src", "dst"), path)
+    else:
+        raise ValueError(f"unknown fmt {fmt!r} (want 'parquet' or 'snap')")

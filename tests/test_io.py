@@ -65,3 +65,52 @@ def test_partitioned_sink(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 3
     assert back.where(F.col("part") == 1).count() == 2
+
+
+def test_sequence_text_roundtrip(spark, tmp_path):
+    """writeTextSequence/readTextSequence interop (sequence.h:153-170):
+    line N holds the vid at pos N."""
+    from sheep_spark import graph, io
+    from tests.conftest import degree_pos, edges_df, random_graph
+
+    edges = random_graph(30, 60, seed=5)
+    verts = graph.vertices_from_edges(edges_df(spark, edges))
+    path = str(tmp_path / "seq_txt")
+    io.write_sequence_text(verts, path)
+    got = {r.pos: r.vid for r in io.read_sequence_text(spark, path).collect()}
+    pos = degree_pos(edges)
+    assert got == {p: v for v, p in pos.items()}
+
+
+def test_partition_vector_text_roundtrip(spark, tmp_path):
+    from sheep_spark import graph, io, partitioner
+    from tests.conftest import edges_df, random_graph
+
+    edges = random_graph(30, 60, seed=6)
+    verts = graph.vertices_from_edges(edges_df(spark, edges))
+    vmeta = partitioner.vertex_meta(verts, partitioner.naive_partition(verts, 3))
+    path = str(tmp_path / "parts_txt")
+    io.write_partition_vector_text(vmeta, path)
+    got = {r.pos: r.part for r in io.read_partition_vector(spark, path).collect()}
+    want = {r.pos: r.part for r in vmeta.collect()}
+    assert got == want
+
+
+def test_read_snap_tabs_and_multispace(spark, tmp_path):
+    p = tmp_path / "tabs.net"
+    p.write_text("# comment\n1\t2\n3   4\n 5 6\n")
+    from sheep_spark import io
+
+    got = sorted((r.src, r.dst) for r in io.read_snap(spark, str(p)).collect())
+    assert got == [(1, 2), (3, 4), (5, 6)]
+
+
+def test_read_snap_garbage_fails_loudly(spark, tmp_path):
+    p = tmp_path / "bad.net"
+    p.write_text("a,b\nc,d\n")
+    from sheep_spark import io
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="none parsed"):
+        io.read_snap(spark, str(p))
