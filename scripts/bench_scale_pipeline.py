@@ -1,0 +1,119 @@
+#!/usr/bin/env python3
+"""At-reference-scale sheep-pipeline benchmark (VERDICT r1 task 1).
+
+Generates a deterministic skewed graph sized like the reference's com-lj
+(~35M undirected edges, ~4M vertices; data/datascale/datascale.dat:6 =
+6.19 s end-to-end on 1 worker, 0.178 µs per undirected edge) and runs
+the full pipeline: load/symmetrize → degree sequence → edges_pos →
+elimination tree (map/reduce) → FFD partition k∈{2,8} → evaluator.
+
+Prints ONE JSON line with per-stage walls + per-edge rates. Stage
+boundaries are materialized (count/persist) so walls are attributable.
+
+Usage: python scripts/bench_scale_pipeline.py [--edges N] [--cores N]
+Env:   SPARK_GRAFT_PIPE_EDGES (directed target, default 70M → ~33M
+       undirected after dedup), SPARK_GRAFT_PIPE_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+EDGES = int(os.environ.get("SPARK_GRAFT_PIPE_EDGES", str(70_000_000)))
+V = int(os.environ.get("SPARK_GRAFT_PIPE_V", str(4_000_000)))
+CPUS = int(os.environ.get("SPARK_GRAFT_PIPE_CPUS", "32"))
+KS = [2, 8]
+
+
+def main() -> None:
+    from bench import synth_edges
+    from sheep_spark import evaluate, graph, partitioner, tree
+    from sheep_spark.session import get_spark
+
+    spark = get_spark("bench-pipeline", cores=CPUS, shuffle_partitions=2 * CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    t_all = time.time()
+    stages: dict[str, float] = {}
+
+    t0 = time.time()
+    edges = synth_edges(spark, EDGES, V).persist()
+    n_directed = edges.count()
+    stages["load_symmetrize_dedup"] = time.time() - t0
+    n_undirected = n_directed // 2
+
+    t0 = time.time()
+    verts = graph.vertices_from_edges(edges).persist()
+    n_vertices = verts.count()
+    stages["degree_sequence"] = time.time() - t0
+
+    t0 = time.time()
+    epos = graph.edges_pos(edges, verts, n_vertices=n_vertices).persist()
+    epos.count()
+    stages["edges_pos"] = time.time() - t0
+
+    t0 = time.time()
+    t = tree.build_tree(epos, n_vertices, n_edges=n_undirected).persist()
+    t.count()
+    stages["tree_build"] = time.time() - t0
+
+    parts_meta = {}
+    t0 = time.time()
+    parent, weight = partitioner.tree_to_arrays(t)
+    stages["tree_collect"] = time.time() - t0
+    for k in KS:
+        t0 = time.time()
+        parts, _ = partitioner.forward_partition(parent, weight, k)
+        stages[f"ffd_pack_k{k}"] = time.time() - t0
+        parts_meta[k] = parts
+
+    # evaluate at k=8 (the headline quality config)
+    t0 = time.time()
+    assign = partitioner.assign_df(spark, parts_meta[8])
+    vmeta = (
+        verts.select("vid", "pos")
+        .join(graph.maybe_broadcast(assign, n_rows=n_vertices), "pos")
+        .persist()
+    )
+    vmeta.count()
+    stages["assign_join"] = time.time() - t0
+
+    t0 = time.time()
+    m = evaluate.evaluate(edges, vmeta)
+    stages["evaluate"] = time.time() - t0
+
+    total = time.time() - t_all
+    core = (
+        stages["load_symmetrize_dedup"]
+        + stages["degree_sequence"]
+        + stages["edges_pos"]
+        + stages["tree_build"]
+        + stages["tree_collect"]
+        + stages["ffd_pack_k2"]
+    )  # comparable to sheep's end-to-end load+sort+tree+partition
+    print(
+        json.dumps(
+            {
+                "n_edges_directed": n_directed,
+                "n_edges_undirected": n_undirected,
+                "n_vertices": n_vertices,
+                "cores": CPUS,
+                "stages_s": {k: round(v, 2) for k, v in stages.items()},
+                "pipeline_core_s": round(core, 2),
+                "us_per_undirected_edge": round(core * 1e6 / n_undirected, 4),
+                "reference_com_lj": {"end_to_end_s": 6.19, "us_per_edge": 0.178},
+                "ecv_down_per_edge_k8": round(m["ecv_down_per_edge"], 6),
+                "down_balance_k8": m["down_balance"],
+                "total_wall_s": round(total, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -240,11 +240,23 @@ def sheep_partition(tree_df: DataFrame, vertices: DataFrame, num_parts: int,
     if (vtx_weight, pst_weight, pre_weight) != (False, True, False):
         weight = tree_weight_array(tree_df, vtx_weight, pst_weight, pre_weight)
     parts, _ = forward_partition(parent, weight, num_parts, balance_factor)
-    assign = spark.createDataFrame(
-        [(int(j), int(p)) for j, p in enumerate(parts)], "pos long, part int"
-    )
+    assign = assign_df(spark, parts)
     assign = maybe_broadcast(assign, n_rows=len(parts))
     return vertices.select("vid", "pos").join(assign, "pos").select("vid", "part")
+
+
+def assign_df(spark: SparkSession, parts: np.ndarray) -> DataFrame:
+    """jnid-indexed parts vector → assign(pos, part) DataFrame via Arrow
+    (a python tuple list serializes ~10x slower at V=millions)."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "pos": np.arange(len(parts), dtype=np.int64),
+            "part": np.asarray(parts, dtype=np.int32),
+        }
+    )
+    return spark.createDataFrame(pdf)
 
 
 def naive_partition(vertices: DataFrame, num_parts: int) -> DataFrame:

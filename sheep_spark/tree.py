@@ -45,6 +45,11 @@ from pyspark.sql import functions as F
 
 TREE_EDGE_SCHEMA = "lo long, hi long"
 
+# _eliminate runs the numpy Boruvka pre-selection only above this input
+# size; below it the plain Python sweep is cheaper (selection costs a few
+# O(E) numpy/hash passes and only wins when most edges are redundant).
+MSF_SELECT_MIN_EDGES = 1_500_000
+
 
 def _find(uf: np.ndarray, x: int) -> int:
     """Union-find find with path halving; root's value is the set's
@@ -56,6 +61,84 @@ def _find(uf: np.ndarray, x: int) -> int:
     return x
 
 
+def _msf_select(lo: np.ndarray, hi: np.ndarray, n_vertices: int) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized Boruvka selection of the union-EFFECTIVE edges.
+
+    The elimination sweep processes edges in hi-ascending order and an
+    edge produces a tree adoption iff its endpoints' components differ
+    at its turn — i.e. the effective edges are exactly a minimum
+    spanning forest under weight = hi (Kruskal). By the MST threshold-
+    partition property, *any* MSF under that weight induces the same
+    component partition below every threshold, so sweeping ONLY the
+    selected ≤V-1 edges yields the identical (kid, parent) set while the
+    O(E) bulk is handled here at numpy speed: per round, each component
+    picks its minimum-weight incident edge (lexsort + first-per-group),
+    2-cycles are broken, labels contract by pointer jumping. O(log V)
+    rounds, no Python per-edge loop.
+    """
+    import pandas as pd
+
+    # ONE global sort by (weight=hi, input order) — argsort is stable, so
+    # ties keep input order; this order is then invariant across rounds.
+    order0 = np.argsort(hi, kind="stable")
+    cur_lo = lo[order0]
+    cur_hi = hi[order0]
+
+    label = np.arange(n_vertices, dtype=np.int64)
+    sel_lo: list[np.ndarray] = []
+    sel_hi: list[np.ndarray] = []
+    prev_len = None
+    while len(cur_lo):
+        a = label[cur_lo]
+        b = label[cur_hi]
+        keep = a != b
+        if not keep.any():
+            break
+        cur_lo, cur_hi = cur_lo[keep], cur_hi[keep]
+        a, b = a[keep], b[keep]
+        # Early exit when rounds stop paying (mostly-effective input, e.g.
+        # a sparse slice): every edge dropped so far was intra-component
+        # under strictly-smaller-weight selected edges — i.e. provably
+        # union-ineffective — so handing the remainder straight to the
+        # sweep is exact, not an approximation.
+        if prev_len is not None and len(cur_lo) > 0.75 * prev_len:
+            sel_lo.append(cur_lo)
+            sel_hi.append(cur_hi)
+            break
+        prev_len = len(cur_lo)
+        n_e = len(a)
+        # min-weight incident edge per component WITHOUT a per-round sort:
+        # interleave (a0,b0,a1,b1,...) so slot order == weight order, then
+        # first occurrence per component via a hash pass (C speed).
+        comps2 = np.empty(2 * n_e, dtype=np.int64)
+        comps2[0::2] = a
+        comps2[1::2] = b
+        first = ~pd.Series(comps2).duplicated().to_numpy()
+        slots = np.flatnonzero(first)
+        e = slots >> 1                    # each component's min edge id
+        c = comps2[slots]
+        o = comps2[slots ^ 1]             # the other endpoint's label
+        sel = np.unique(e)
+        sel_lo.append(cur_lo[sel])
+        sel_hi.append(cur_hi[sel])
+        # hook c → o; weights are made distinct by the input-order
+        # tie-break, so hook cycles have length exactly 2 — break them,
+        # then contract by pointer jumping.
+        p = np.arange(n_vertices, dtype=np.int64)
+        p[c] = o
+        mutual = (p[p[c]] == c) & (c < p[c])
+        p[c[mutual]] = c[mutual]
+        while True:
+            pp = p[p]
+            if np.array_equal(pp, p):
+                break
+            p = pp
+        label = p[label]
+    if not sel_lo:
+        return lo[:0], hi[:0]
+    return np.concatenate(sel_lo), np.concatenate(sel_hi)
+
+
 def _eliminate(lo: np.ndarray, hi: np.ndarray, n_vertices: int) -> tuple[np.ndarray, np.ndarray]:
     """Union-find elimination sweep over (lo, hi) pairs sorted by hi.
 
@@ -63,8 +146,43 @@ def _eliminate(lo: np.ndarray, hi: np.ndarray, n_vertices: int) -> tuple[np.ndar
     jtree.cpp:34-55 restricted to this edge subset: processing hi
     ascending == inserting vertices in sequence order; adopting
     find(lo) == adopting the neighbor's component root.
+
+    Two-phase for speed on big inputs: the vectorized Boruvka pass
+    (_msf_select) drops every union-ineffective edge at numpy speed and
+    the Python union-find sweep then touches only the surviving ≤V-1
+    forest edges — Python work O(V α) instead of O(E α). Selection only
+    pays when the input is redundancy-heavy (the tree-merge reduction
+    stages, whose input is a union of fan_in forests), so it is gated on
+    input size: small stage-1 slices sweep directly (measured: a sparse
+    slice is mostly union-effective and selection would be pure
+    overhead).
     """
+    if len(lo) >= MSF_SELECT_MIN_EDGES:
+        lo, hi = _msf_select(lo, hi, n_vertices)
     order = np.argsort(hi, kind="stable")
+    # python lists: ~2x faster element access than numpy scalars in the
+    # interpreted sweep; fall back to numpy above 50M vertices where the
+    # pointer-per-int list overhead would dominate task memory
+    use_lists = n_vertices <= 50_000_000
+    if use_lists:
+        lo_l = lo[order].tolist()
+        hi_l = hi[order].tolist()
+        uf = list(range(n_vertices))
+        kids: list[int] = []
+        pars: list[int] = []
+        ka, pa = kids.append, pars.append
+        for x, r in zip(hi_l, lo_l):
+            p = uf[r]
+            while p != r:  # path halving
+                pp = uf[p]
+                uf[r] = pp
+                r = pp
+                p = uf[r]
+            if r != x:
+                ka(r)
+                pa(x)
+                uf[r] = x
+        return np.asarray(kids, dtype=np.int64), np.asarray(pars, dtype=np.int64)
     lo = lo[order]
     hi = hi[order]
     uf = np.arange(n_vertices, dtype=np.int64)
@@ -76,8 +194,6 @@ def _eliminate(lo: np.ndarray, hi: np.ndarray, n_vertices: int) -> tuple[np.ndar
         x = int(hi[i])
         r = find(uf, int(lo[i]))
         if r != x:
-            # adopt: tree-parent of the component root becomes x; the
-            # merged component's representative becomes x (the greater).
             kid_out[n_out] = r
             par_out[n_out] = x
             n_out += 1
@@ -103,6 +219,7 @@ def build_parent_edges(
     n_vertices: int,
     n_partials: int | None = None,
     fan_in: int = 8,
+    n_edges: int | None = None,
 ) -> DataFrame:
     """Map/reduce elimination-tree build → DataFrame (lo=kid jnid, hi=parent jnid).
 
@@ -110,10 +227,17 @@ def build_parent_edges(
     trees, one per shuffle partition. Stages 2.. ("reduce",
     sheep's merge_trees rounds / MPI_Reduce): coalesce partials by
     fan_in and re-run the same kernel on their union until one remains.
+
+    ``n_edges`` (a hint, no job run) scales n_partials so a stage-1
+    slice stays ~2M edges — the sweet spot where the per-task Python
+    sweep stays low-latency; at 1.5B edges that means ~750 partials,
+    not defaultParallelism.
     """
     spark = edges_pos_df.sparkSession
     if n_partials is None:
         n_partials = spark.sparkContext.defaultParallelism
+        if n_edges is not None:
+            n_partials = max(n_partials, int(n_edges // 2_000_000) + 1)
 
     def kernel(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         return _eliminate_arrow(it, n_vertices)
@@ -128,7 +252,7 @@ def build_parent_edges(
 
 def build_tree(
     edges_pos_df: DataFrame, n_vertices: int, n_partials: int | None = None,
-    with_pre_weight: bool = False,
+    with_pre_weight: bool = False, n_edges: int | None = None,
 ) -> DataFrame:
     """``tree(jnid, parent, pst_weight[, pre_weight])`` over jnid = 0..V-1.
 
@@ -145,9 +269,9 @@ def build_tree(
     """
     spark = edges_pos_df.sparkSession
     edges_pos_df = edges_pos_df.persist()
-    parents = build_parent_edges(edges_pos_df, n_vertices, n_partials).withColumnRenamed(
-        "lo", "jnid"
-    ).withColumnRenamed("hi", "parent")
+    parents = build_parent_edges(
+        edges_pos_df, n_vertices, n_partials, n_edges=n_edges
+    ).withColumnRenamed("lo", "jnid").withColumnRenamed("hi", "parent")
     pst = edges_pos_df.groupBy(F.col("lo").alias("jnid")).agg(F.count("*").alias("pst_weight"))
     base = spark.range(n_vertices).select(F.col("id").alias("jnid"))
     out = (

@@ -53,3 +53,17 @@ def test_knuth_hash_variant_matches_port(spark):
     # and the two constants genuinely differ on this graph's ownership
     base = evaluate.evaluate_oracle(edges, pos, part, hash_fn="cormen")
     assert ("ecv_hash", got["ecv_hash"]) != ("ecv_hash", None) and base["n_edges"] == want["n_edges"]
+
+
+def test_bitmask_and_distinct_paths_agree(spark):
+    """The k<=62 bitmask single-pass and the general tagged-distinct path
+    must produce identical metrics (num_parts=100 forces the fallback)."""
+    from tests.conftest import edges_df, random_graph
+
+    edges = random_graph(40, 90, seed=3)
+    sym = edges_df(spark, edges)
+    verts = graph.vertices_from_edges(sym)
+    vmeta = partitioner.vertex_meta(verts, partitioner.naive_partition(verts, 5)).persist()
+    fast = evaluate.evaluate(sym, vmeta)
+    slow = evaluate.evaluate(sym, vmeta, num_parts=100)
+    assert fast == slow
