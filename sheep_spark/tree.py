@@ -27,11 +27,12 @@ pst_weight needs no kernel at all: it is ``groupBy(lo).count()`` over the
 deduped (lo, hi) pos-space edge list (jtree.cpp:47-49 counts later
 neighbors).
 
-Scale bound: each kernel invocation holds two int64 arrays of length V
-(union-find + parents), i.e. 16 bytes/vertex — 16 GB at V=10^9, matching
-sheep's own per-rank memory model (every MPI rank holds the full JNode
-array, jnode.cpp:203-250). Edges — the 100 TB object — stream through
-Arrow batches and are never materialized per worker.
+Scale bound: each kernel invocation remaps its slice to dense local ids
+(_eliminate_arrow), so per-task state is O(vertices present in the
+slice) — ~32 MB for a 2M-edge slice even at V=10^9 — strictly better
+than sheep's per-rank model (every MPI rank holds the full JNode array,
+jnode.cpp:203-250). Edges — the 100 TB object — stream through Arrow
+batches and are never materialized per worker.
 """
 
 from __future__ import annotations
@@ -202,6 +203,13 @@ def _eliminate(lo: np.ndarray, hi: np.ndarray, n_vertices: int) -> tuple[np.ndar
 
 
 def _eliminate_arrow(batches: Iterator[pa.RecordBatch], n_vertices: int) -> Iterator[pa.RecordBatch]:
+    """Per-task kernel wrapper: remap the slice's vertices to dense local
+    ids before the sweep, map tree edges back after. The sweep depends
+    only on the ORDER of jnids (sort + comparisons), and np.unique's
+    sorted relabel is order-preserving, so results are exact — while
+    per-task state shrinks from O(global V) to O(vertices present in the
+    slice). At 10^9 global vertices a 2M-edge slice costs ~32 MB, not
+    16 GB (``n_vertices`` is kept only for API stability)."""
     los, his = [], []
     for b in batches:
         los.append(b.column(0).to_numpy(zero_copy_only=False))
@@ -210,8 +218,13 @@ def _eliminate_arrow(batches: Iterator[pa.RecordBatch], n_vertices: int) -> Iter
         return
     lo = np.concatenate(los).astype(np.int64, copy=False)
     hi = np.concatenate(his).astype(np.int64, copy=False)
-    kid, par = _eliminate(lo, hi, n_vertices)
-    yield pa.RecordBatch.from_arrays([pa.array(kid), pa.array(par)], names=["lo", "hi"])
+    verts = np.unique(np.concatenate([lo, hi]))
+    kid_l, par_l = _eliminate(
+        np.searchsorted(verts, lo), np.searchsorted(verts, hi), len(verts)
+    )
+    yield pa.RecordBatch.from_arrays(
+        [pa.array(verts[kid_l]), pa.array(verts[par_l])], names=["lo", "hi"]
+    )
 
 
 def build_parent_edges(
@@ -360,43 +373,59 @@ def tree_facts_full(tree_df: DataFrame) -> dict:
     """Exact JNodeTable::Facts (jnode.cpp:256-290) without the jxn
     machinery (width = 1 + pst_weight, fill = 0 — the reference's
     default jopts build the same padless tree, jtree.h:86-90). Driver
-    pass over the O(V) collected arrays, like the reference's rank 0."""
+    pass over the O(V) collected arrays, like the reference's rank 0.
+
+    Everything order-free is vectorized; only the height propagation
+    keeps a (list-based) linear sweep — parent(j) > j guarantees kid
+    heights are final when read, but the cascade along chains has no
+    bounded-round vectorization (tree depth can be ~V, e.g. com-lj
+    vheight 1.19M, data/quality/com-lj.raw:5)."""
     import numpy as np
 
     pdf = tree_df.select("jnid", "parent", "pst_weight").toPandas().sort_values("jnid")
-    par = pdf["parent"].to_numpy()
-    pst = pdf["pst_weight"].to_numpy().astype(np.int64)
     n = len(pdf)
-    vheight = np.ones(n, dtype=np.int64)
-    eheight = pst.copy()
+    pst = pdf["pst_weight"].to_numpy(np.int64)
+    par_f = pdf["parent"].to_numpy("float64", na_value=np.nan)
+    is_root = np.isnan(par_f)
+    par = np.where(is_root, -1, np.nan_to_num(par_f, nan=-1)).astype(np.int64)
+
+    w = pst + 1
+    running = np.maximum.accumulate(w) if n else w
+    halo = np.flatnonzero(w > 3)
+    core = np.flatnonzero(w >= running)
     facts = {
         "vert_cnt": int(n),
         "edge_cnt": int(pst.sum()),
-        "width": int(pst.max()) + 1 if n else 0,
+        "width": int(w.max()) if n else 0,
         "fill": 0,
         "vert_height": 0,
         "edge_height": 0,
-        "root_cnt": 0,
-        "halo_id": None,
-        "core_id": None,
+        "root_cnt": int(is_root.sum()),
+        "halo_id": int(halo[0]) if len(halo) else None,
+        "core_id": int(core[0]) if len(core) else None,
     }
-    running_width = 0
+    # height sweep (ascending jnid; parents strictly greater)
+    par_l = par.tolist()
+    pst_l = pst.tolist()
+    vheight = [1] * n
+    eheight = pst_l.copy()
+    vmax = emax = 0
     for j in range(n):
-        w = int(pst[j]) + 1
-        running_width = max(running_width, w)
-        p = par[j]
-        if p is not None and not (isinstance(p, float) and np.isnan(p)):
-            p = int(p)
-            vheight[p] = max(vheight[p], vheight[j] + 1)
-            eheight[p] = max(eheight[p], eheight[j] + pst[p])
+        p = par_l[j]
+        if p >= 0:
+            vj = vheight[j] + 1
+            if vj > vheight[p]:
+                vheight[p] = vj
+            ej = eheight[j] + pst_l[p]
+            if ej > eheight[p]:
+                eheight[p] = ej
         else:
-            facts["vert_height"] = max(facts["vert_height"], int(vheight[j]))
-            facts["edge_height"] = max(facts["edge_height"], int(eheight[j]))
-            facts["root_cnt"] += 1
-        if facts["halo_id"] is None and w > 3:
-            facts["halo_id"] = j
-        if facts["core_id"] is None and w >= running_width:
-            facts["core_id"] = j
+            if vheight[j] > vmax:
+                vmax = vheight[j]
+            if eheight[j] > emax:
+                emax = eheight[j]
+    facts["vert_height"] = int(vmax)
+    facts["edge_height"] = int(emax)
     return facts
 
 
