@@ -300,6 +300,13 @@ def q_lsh_ann(spark, sf_dir):
     return ann.lsh_topk(emb, query_ids=[0, 1, 2, 3, 4], k=10)
 
 
+def q_lsh_pairs(spark, sf_dir):
+    from sheep_spark import ann
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann.lsh_pairs(emb, min_cosine=0.2, n_planes=2, n_tables=4)
+
+
 def q_pages_extract(spark, sf_dir):
     """Synthetic corpus → byte-identity check inside the query: returns
     per-page match flag counts (must be all matched)."""
@@ -341,6 +348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": q_label_prop,
         "simhash": q_simhash,
         "ann_lsh_topk": q_lsh_ann,
+        "ann_lsh_pairs": q_lsh_pairs,
         "pages_extract_identity": q_pages_extract,
         # rows-only (genuinely non-SQL-expressible: union-find tree build,
         # driver FFD packing / FENNEL stream — sequential by definition)
@@ -509,6 +517,31 @@ ranked AS (SELECT query_id, neighbor_id, cosine,
 SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}"""
 
 
+def _ann_lsh_pairs_sql(dim: int = 64, n_planes: int = 2, n_tables: int = 4,
+                       min_cosine: float = 0.2) -> str:
+    """All-pairs LSH dedup mode: candidate = bucket match in ANY table
+    (id_a < id_b), exact cosine verify ≥ min_cosine."""
+    from sheep_spark.ann import _hyperplanes
+
+    buckets = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed=7 + t)
+        bits = " || ".join(
+            "(CASE WHEN list_dot_product(e, ["
+            + ", ".join(repr(float(x)) for x in plane)
+            + "]) >= 0 THEN '1' ELSE '0' END)"
+            for plane in planes
+        )
+        buckets.append(f"({bits}) AS bucket_{t}")
+    match = " OR ".join(f"x.bucket_{t} = y.bucket_{t}" for t in range(n_tables))
+    return f"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+b AS (SELECT vec_id, e, {", ".join(buckets)} FROM emb),
+cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b, x.e AS ea, y.e AS eb
+         FROM b x JOIN b y ON x.vec_id < y.vec_id AND ({match}))
+SELECT id_a, id_b, ROUND(list_cosine_similarity(ea, eb), 6) AS cosine
+FROM cand WHERE ROUND(list_cosine_similarity(ea, eb), 6) >= {min_cosine}"""
+
+
 def oracle_sql() -> dict[str, str]:
     stop_en = "the|and|of|to|a|in|is|it|that|for"
     stop_de = "der|die|das|und|ist|nicht|ein|mit|auf|sich"
@@ -655,6 +688,7 @@ def oracle_sql() -> dict[str, str]:
         "label_propagation": _label_prop_sql(3),
         "simhash": _simhash_sql(),
         "ann_lsh_topk": _ann_lsh_sql(),
+        "ann_lsh_pairs": _ann_lsh_pairs_sql(),
         # q_pages_extract is self-checking (byte-identity per page inside
         # the query); the oracle is the expected constant: all 500 match.
         "pages_extract_identity": "SELECT 1 AS match, CAST(500 AS BIGINT) AS count",

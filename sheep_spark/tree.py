@@ -140,7 +140,8 @@ def _msf_select(lo: np.ndarray, hi: np.ndarray, n_vertices: int) -> tuple[np.nda
     return np.concatenate(sel_lo), np.concatenate(sel_hi)
 
 
-def _eliminate(lo: np.ndarray, hi: np.ndarray, n_vertices: int) -> tuple[np.ndarray, np.ndarray]:
+def _eliminate(lo: np.ndarray, hi: np.ndarray, n_vertices: int,
+               select: bool = True) -> tuple[np.ndarray, np.ndarray]:
     """Union-find elimination sweep over (lo, hi) pairs sorted by hi.
 
     Returns (kid, parent) tree-edge arrays. Exact semantics of
@@ -148,17 +149,17 @@ def _eliminate(lo: np.ndarray, hi: np.ndarray, n_vertices: int) -> tuple[np.ndar
     ascending == inserting vertices in sequence order; adopting
     find(lo) == adopting the neighbor's component root.
 
-    Two-phase for speed on big inputs: the vectorized Boruvka pass
-    (_msf_select) drops every union-ineffective edge at numpy speed and
-    the Python union-find sweep then touches only the surviving ≤V-1
-    forest edges — Python work O(V α) instead of O(E α). Selection only
-    pays when the input is redundancy-heavy (the tree-merge reduction
-    stages, whose input is a union of fan_in forests), so it is gated on
-    input size: small stage-1 slices sweep directly (measured: a sparse
-    slice is mostly union-effective and selection would be pure
-    overhead).
+    ``select=True`` runs the vectorized Boruvka pass (_msf_select)
+    first, dropping union-ineffective edges at numpy speed so the Python
+    sweep touches only the surviving ≤V-1 forest edges. Selection pays
+    ONLY on redundancy-heavy input — the tree-merge reduction stages,
+    whose union of fan_in forests compresses ~fan_in× — and is gated on
+    input size besides. Raw graph slices are mostly union-effective
+    (measured: 35M-edge power-law graph kept 99.3% through selection),
+    so stage-1/driver sweeps pass select=False and skip straight to the
+    O(E α) sweep at ~0.5M edges/s/core.
     """
-    if len(lo) >= MSF_SELECT_MIN_EDGES:
+    if select and len(lo) >= MSF_SELECT_MIN_EDGES:
         lo, hi = _msf_select(lo, hi, n_vertices)
     order = np.argsort(hi, kind="stable")
     # python lists: ~2x faster element access than numpy scalars in the
@@ -202,7 +203,8 @@ def _eliminate(lo: np.ndarray, hi: np.ndarray, n_vertices: int) -> tuple[np.ndar
     return kid_out[:n_out], par_out[:n_out]
 
 
-def _eliminate_arrow(batches: Iterator[pa.RecordBatch], n_vertices: int) -> Iterator[pa.RecordBatch]:
+def _eliminate_arrow(batches: Iterator[pa.RecordBatch], n_vertices: int,
+                     select: bool = True) -> Iterator[pa.RecordBatch]:
     """Per-task kernel wrapper: remap the slice's vertices to dense local
     ids before the sweep, map tree edges back after. The sweep depends
     only on the ORDER of jnids (sort + comparisons), and np.unique's
@@ -220,7 +222,7 @@ def _eliminate_arrow(batches: Iterator[pa.RecordBatch], n_vertices: int) -> Iter
     hi = np.concatenate(his).astype(np.int64, copy=False)
     verts = np.unique(np.concatenate([lo, hi]))
     kid_l, par_l = _eliminate(
-        np.searchsorted(verts, lo), np.searchsorted(verts, hi), len(verts)
+        np.searchsorted(verts, lo), np.searchsorted(verts, hi), len(verts), select
     )
     yield pa.RecordBatch.from_arrays(
         [pa.array(verts[kid_l]), pa.array(verts[par_l])], names=["lo", "hi"]
@@ -252,20 +254,59 @@ def build_parent_edges(
         if n_edges is not None:
             n_partials = max(n_partials, int(n_edges // 2_000_000) + 1)
 
-    def kernel(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        return _eliminate_arrow(it, n_vertices)
+    # stage 1 sees raw graph slices (mostly union-effective → skip the
+    # Boruvka pre-selection); merge rounds see unions of forests, which
+    # compress ~fan_in× → select pays there
+    def kernel_raw(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        return _eliminate_arrow(it, n_vertices, select=False)
 
-    t = edges_pos_df.select("lo", "hi").repartition(n_partials).mapInArrow(kernel, TREE_EDGE_SCHEMA)
+    def kernel_merge(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        return _eliminate_arrow(it, n_vertices, select=True)
+
+    t = edges_pos_df.select("lo", "hi").repartition(n_partials).mapInArrow(
+        kernel_raw, TREE_EDGE_SCHEMA
+    )
     p = n_partials
     while p > 1:
         p = max(1, p // fan_in)
-        t = t.repartition(p).mapInArrow(kernel, TREE_EDGE_SCHEMA)
+        t = t.repartition(p).mapInArrow(kernel_merge, TREE_EDGE_SCHEMA)
     return t
+
+
+# Above this the collected edge list stops fitting comfortably on a
+# reference-class driver (100M edges × 16 B = 1.6 GB; sheep's own SLURM
+# config gives every rank 15 GB, README:63-70) and the map/reduce path
+# takes over.
+DRIVER_TREE_MAX_EDGES = 100_000_000
+
+
+def build_parent_edges_driver(edges_pos_df: DataFrame, n_vertices: int) -> DataFrame:
+    """Single-sweep tree build on the driver: Arrow-collect the (lo, hi)
+    pairs, one _eliminate, ship the ≤V-1 tree edges back via Arrow.
+
+    This is the deliberate analogue of sheep's rank-0 funnel (the
+    partition step already centralizes O(V); this centralizes O(E) for
+    graphs under DRIVER_TREE_MAX_EDGES). Measured on a 35M-edge
+    power-law graph under an 8-core quota: 85s total vs 390s for the
+    map/reduce path, whose per-task Python/JVM co-scheduling overhead
+    dominates at sandbox scale. Beyond the cap, build_parent_edges
+    distributes; results are identical (same kernel, same order laws).
+    """
+    import pandas as pd
+
+    spark = edges_pos_df.sparkSession
+    pdf = edges_pos_df.select("lo", "hi").toPandas()
+    kid, par = _eliminate(
+        pdf["lo"].to_numpy(np.int64), pdf["hi"].to_numpy(np.int64), n_vertices,
+        select=False,
+    )
+    return spark.createDataFrame(pd.DataFrame({"lo": kid, "hi": par}))
 
 
 def build_tree(
     edges_pos_df: DataFrame, n_vertices: int, n_partials: int | None = None,
     with_pre_weight: bool = False, n_edges: int | None = None,
+    strategy: str = "auto",
 ) -> DataFrame:
     """``tree(jnid, parent, pst_weight[, pre_weight])`` over jnid = 0..V-1.
 
@@ -282,9 +323,22 @@ def build_tree(
     """
     spark = edges_pos_df.sparkSession
     edges_pos_df = edges_pos_df.persist()
-    parents = build_parent_edges(
-        edges_pos_df, n_vertices, n_partials, n_edges=n_edges
-    ).withColumnRenamed("lo", "jnid").withColumnRenamed("hi", "parent")
+    # strategy: 'driver' = single-sweep rank-0 analogue (fastest under
+    # DRIVER_TREE_MAX_EDGES), 'mapreduce' = distributed partials+merge,
+    # 'auto' = driver iff the edge-count hint fits the cap.
+    if strategy == "auto":
+        strategy = (
+            "driver"
+            if n_edges is not None and n_edges <= DRIVER_TREE_MAX_EDGES and n_partials is None
+            else "mapreduce"
+        )
+    if strategy == "driver":
+        parents = build_parent_edges_driver(edges_pos_df, n_vertices)
+    else:
+        parents = build_parent_edges(
+            edges_pos_df, n_vertices, n_partials, n_edges=n_edges
+        )
+    parents = parents.withColumnRenamed("lo", "jnid").withColumnRenamed("hi", "parent")
     pst = edges_pos_df.groupBy(F.col("lo").alias("jnid")).agg(F.count("*").alias("pst_weight"))
     base = spark.range(n_vertices).select(F.col("id").alias("jnid"))
     out = (

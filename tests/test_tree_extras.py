@@ -91,3 +91,20 @@ def test_fennel_baseline(spark):
         loads[r.part] = loads.get(r.part, 0) + deg[r.vid]
     n_edges_directed = edges.count()
     assert max(loads.values()) <= (n_edges_directed / 4) * 1.03
+
+def test_driver_and_mapreduce_strategies_identical(spark):
+    """build_tree strategy='driver' (rank-0 single sweep) must equal the
+    distributed map/reduce path edge-for-edge."""
+    from sheep_spark import graph, tree
+    from tests.conftest import edges_df, random_graph
+
+    edges = random_graph(120, 400, seed=23)
+    sym = edges_df(spark, edges)
+    verts = graph.vertices_from_edges(sym)
+    n = verts.count()
+    epos = graph.edges_pos(sym, verts).persist()
+    a = tree.build_tree(epos, n, strategy="driver")
+    b = tree.build_tree(epos, n, n_partials=4, strategy="mapreduce")
+    ra = sorted(tuple(r) for r in a.collect())
+    rb = sorted(tuple(r) for r in b.collect())
+    assert ra == rb
