@@ -118,6 +118,43 @@ def write_partition_vector_text(vmeta: DataFrame, path: str) -> None:
     ).write.mode("overwrite").text(path)
 
 
+def write_metis_adj(edges_sym: DataFrame, vertices: DataFrame, path: str) -> None:
+    """METIS adjacency exporter (util/graph2adj.cpp:60-87): header
+    "<V> <E> 010", then one line per vertex IN SEQUENCE ORDER listing
+    its degree and its neighbors as 1-based sequence indices. Driver
+    single-file writer (debug/interop scale, like the reference tool)."""
+    from .graph import maybe_broadcast
+
+    v = maybe_broadcast(vertices.select("vid", "pos"))
+    adj = (
+        edges_sym.join(v.withColumnRenamed("vid", "src").withColumnRenamed("pos", "ps"), "src")
+        .join(v.withColumnRenamed("vid", "dst").withColumnRenamed("pos", "pd"), "dst")
+        .groupBy("ps")
+        .agg(F.sort_array(F.collect_list(F.col("pd") + 1)).alias("nbrs"))
+        .orderBy("ps")
+    )
+    rows = adj.collect()
+    n_edges = sum(len(r["nbrs"]) for r in rows) // 2
+    with open(path, "w") as f:
+        f.write(f"{len(rows)} {n_edges} 010\n")
+        for r in rows:
+            f.write(" ".join([str(len(r["nbrs"]))] + [str(x) for x in r["nbrs"]]) + "\n")
+
+
+def write_tree_dot(tree_df: DataFrame, path: str) -> None:
+    """DOT exporter for the elimination tree (util/tree2dot.cpp:55-63):
+    one "kid -> parent" edge per non-root, jnid descending."""
+    rows = tree_df.select("jnid", "parent").orderBy(F.desc("jnid")).collect()
+    with open(path, "w") as f:
+        f.write("digraph {\n")
+        for r in rows:
+            line = f"\t{r['jnid']}"
+            if r["parent"] is not None:
+                line += f" -> {r['parent']}"
+            f.write(line + "\n")
+        f.write("}\n")
+
+
 def read_partition_vector(spark: SparkSession, path: str) -> DataFrame:
     """Partition-vector file: one part id per line, jnid-indexed
     (lib/partition.h:116-123) → (pos, part)."""

@@ -114,3 +114,44 @@ def test_read_snap_garbage_fails_loudly(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="none parsed"):
         io.read_snap(spark, str(p))
+
+
+def test_metis_adj_export(spark, tmp_path):
+    """graph2adj parity: header V/E/010; line i = degree + 1-based
+    sequence-index neighbors of the vertex at pos i."""
+    from tests.conftest import degree_pos, edges_df, random_graph
+
+    edges = random_graph(20, 35, seed=9)
+    sym = edges_df(spark, edges)
+    verts = graph.vertices_from_edges(sym)
+    path = str(tmp_path / "g.adj")
+    io.write_metis_adj(sym, verts, path)
+
+    pos = degree_pos(edges)
+    adj = {v: set() for v in pos}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    lines = open(path).read().splitlines()
+    nv, ne, fmt = lines[0].split()
+    assert (int(nv), int(ne), fmt) == (len(pos), len(edges), "010")
+    by_pos = sorted(pos, key=lambda v: pos[v])
+    for i, v in enumerate(by_pos):
+        toks = [int(x) for x in lines[1 + i].split()]
+        assert toks[0] == len(adj[v])
+        assert sorted(toks[1:]) == sorted(pos[n] + 1 for n in adj[v])
+
+
+def test_tree_dot_export(spark, tmp_path):
+    from tests.conftest import edges_df
+
+    sym = edges_df(spark, [(0, 1), (1, 2), (3, 4)])
+    verts = graph.vertices_from_edges(sym)
+    t = tree.build_tree(graph.edges_pos(sym, verts), verts.count())
+    path = str(tmp_path / "t.dot")
+    io.write_tree_dot(t, path)
+    text = open(path).read()
+    assert text.startswith("digraph {") and text.rstrip().endswith("}")
+    n_edges = text.count("->")
+    n_roots = sum(1 for r in t.collect() if r["parent"] is None)
+    assert n_edges == verts.count() - n_roots
