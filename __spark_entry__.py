@@ -42,9 +42,14 @@ def _graph(spark: SparkSession, sf_dir: str):
     from sheep_spark import graph
 
     key = (id(spark), sf_dir)
-    if key not in _GRAPH_CACHE:
+    if key in _GRAPH_CACHE:
+        # refresh recency: move the hit to the end (ADVICE r2 — popitem()
+        # evicted LIFO and hits never refreshed, so this wasn't an LRU)
+        _GRAPH_CACHE[key] = _GRAPH_CACHE.pop(key)
+    else:
         while len(_GRAPH_CACHE) >= _GRAPH_CACHE_MAX:
-            _, (e_old, v_old) = _GRAPH_CACHE.popitem()
+            oldest = next(iter(_GRAPH_CACHE))
+            e_old, v_old = _GRAPH_CACHE.pop(oldest)
             for df in (e_old, v_old):
                 try:
                     df.unpersist()

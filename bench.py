@@ -26,6 +26,28 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# This sandbox backs freshly-mapped pages at ~60 MB/s on first touch
+# (measured; warm pages run at 4+ GB/s) and glibc munmaps large freed
+# blocks straight back to the OS — so every big numpy allocation in the
+# driver (toPandas collect, the tree kernel) pays a fake fault cost no
+# real host has. Re-exec with malloc tuned to retain freed memory; the
+# env is inherited by every child this script spawns.
+MALLOC_RETAIN_ENV = {
+    "MALLOC_MMAP_THRESHOLD_": "68719476736",
+    "MALLOC_TRIM_THRESHOLD_": "68719476736",
+}
+
+
+def ensure_malloc_retention() -> None:
+    if all(os.environ.get(k) == v for k, v in MALLOC_RETAIN_ENV.items()):
+        return
+    os.execve(
+        sys.executable,
+        [sys.executable] + sys.argv,
+        {**os.environ, **MALLOC_RETAIN_ENV},
+    )
+
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SCALE_EDGES = int(os.environ.get("SPARK_GRAFT_SCALE_EDGES", str(48_000_000)))
@@ -326,6 +348,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
+    ensure_malloc_retention()
     if len(sys.argv) > 1 and sys.argv[1] == "--scale-worker":
         scale_worker(int(sys.argv[2]))
     else:

@@ -133,4 +133,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
+    from bench import ensure_malloc_retention
+
+    ensure_malloc_retention()  # sandbox first-touch artifact; see bench.py
     main()

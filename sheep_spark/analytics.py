@@ -185,12 +185,15 @@ def connected_components(
     for it in range(start_iter, max_iter):
         e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
         cur = stats(e2)
-        e = e2
+        e_prev, e = e, e2
         info["iterations"] = it + 1
         info["changed"] = cur[0]
         if checkpointer is not None:
             checkpointer.save(it, e, {"edges": cur[0]})
-        if cur == prev:
+        # digest equality is necessary but (at ~2^-64) not sufficient: on
+        # the terminating round only, confirm with an exact set compare
+        # (ADVICE r2 — a collision would return silently wrong labels)
+        if cur == prev and e2.exceptAll(e_prev).isEmpty():
             info["converged"] = True
             info["changed"] = 0  # fixpoint: the last round changed nothing
             break

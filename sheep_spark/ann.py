@@ -119,8 +119,14 @@ def lsh_topk(
     of the candidate sets. Each per-table join hashes on the bucket key
     — never a nested loop over all candidates (the OR-of-equalities
     formulation degenerates to BroadcastNestedLoopJoin; see
-    tests/test_ann.py::test_lsh_plan_has_no_nested_loop)."""
-    emb = _bucketed(embeddings, n_planes, n_tables, id_col, vec_col).persist()
+    tests/test_ann.py::test_lsh_plan_has_no_nested_loop).
+
+    The bucketed table is deliberately NOT cached (r2 leaked it
+    forever): column pruning means each per-table branch computes only
+    its own bucket column off the scan, so the total bucket math is the
+    same as a cached plan — and an E-sized row cache is exactly what
+    can't exist at 100 TB anyway."""
+    emb = _bucketed(embeddings, n_planes, n_tables, id_col, vec_col)
     queries = emb.where(F.col("nid").isin(query_ids)).select(
         F.col("nid").alias("query_id"),
         F.col("ce").alias("qe"),
@@ -158,8 +164,11 @@ def lsh_pairs(
     verify ≥ ``min_cosine``. Output (id_a < id_b, cosine).
 
     Scale shape mirrors textops.minhash_lsh_pairs: candidate volume is
-    Σ_buckets |bucket|² per table — tune n_planes up to shrink buckets."""
-    emb = _bucketed(embeddings, n_planes, n_tables, id_col, vec_col).persist()
+    Σ_buckets |bucket|² per table — tune n_planes up to shrink buckets.
+    Uncached by design, like lsh_topk: each self-join branch computes
+    only its own bucket column off the scan (2× the vector math of a
+    cache, none of the E-sized storage)."""
+    emb = _bucketed(embeddings, n_planes, n_tables, id_col, vec_col)
     per_table = [
         emb.select(F.col("nid").alias("id_a"), F.col("ce").alias("qe"),
                    F.col(f"bucket_{t}").alias("bk"))

@@ -53,131 +53,181 @@ def _sum_distinct_minus_one(pairs: DataFrame, key: str, val: str) -> int:
     return int(row["s"])
 
 
-def evaluate(edges_sym: DataFrame, vmeta: DataFrame, broadcast_meta: bool = True,
-             hash_fn: str = "cormen", num_parts: int | None = None) -> dict:
-    """Full metric dict in THREE jobs over one cached edge-join:
-    (1) scalar counts, (2) all per-vertex distinct-owner sums via a
-    metric-tagged union, (3) all per-part max loads likewise. The tagged
-    union turns what would be 7 separate aggregations into single
-    shuffles with a 'metric' key prefix — same skew-safety, 1/3 the
-    passes.
+#: every metric evaluate() can produce (reference printout order)
+ALL_METRICS = (
+    "edges_cut", "vcom_vol", "ecv_down", "ecv_up", "ecv_hash",
+    "down_balance", "up_balance", "hash_balance", "vertex_balance",
+)
 
-    When the partition count fits a long bitmask (k ≤ 62, every real
-    sheep config) the per-vertex distinct-count collapses to
-    ``bit_count(bit_or(1 << part))`` — ONE shuffle whose map-side
-    partial absorbs all duplicate (vertex, part) pairs, instead of the
-    two-stage distinct. ~5× faster at 10M+ edges, exact either way;
-    ``num_parts`` is derived from vmeta when not passed."""
+
+def evaluate(edges_sym: DataFrame, vmeta: DataFrame, broadcast_meta: bool = True,
+             hash_fn: str = "cormen", num_parts: int | None = None,
+             metrics=None) -> dict:
+    """Partition-quality metric dict in TWO jobs over the edge-join:
+    (1) per-vertex bitmask aggregation carrying the scalar counts as
+    extra aggregates, (2) all per-part max loads via ONE explode scan.
+    The ≤62-part bitmask path (every real sheep config) does NOT cache
+    the join: with the vertex side broadcast the join is a pure
+    map-side hash probe, and re-deriving it per job is cheaper at scale
+    than materializing a 9-column E-sized cache (measured at 35M edges:
+    the r2 cached 3-job form cost 222 s cold; see BASELINE.md).
+
+    ``metrics`` selects a subset of ALL_METRICS (default: all). The
+    headline quality gate only needs ``("edges_cut", "ecv_down",
+    "down_balance")`` — that subset runs the minimal jobs (~3× less
+    work than the full suite). ``n_edges`` (and ``ecv_down_per_edge``
+    when ecv_down is requested) are always included.
+
+    >62 parts falls back to the cached metric-tagged union + two-stage
+    distinct — the hub-skew-safe general form.
+    """
+    requested = tuple(metrics) if metrics is not None else ALL_METRICS
+    unknown = set(requested) - set(ALL_METRICS)
+    if unknown:
+        raise ValueError(f"unknown metrics: {sorted(unknown)}")
     down_owner = F.when(F.col("pos_a") < F.col("pos_b"), F.col("part_a")).otherwise(F.col("part_b"))
     up_owner = F.when(F.col("pos_a") > F.col("pos_b"), F.col("part_a")).otherwise(F.col("part_b"))
     hash_owner = F.when(
         _mult_hash(F.col("src"), hash_fn) < _mult_hash(F.col("dst"), hash_fn),
         F.col("part_a"),
     ).otherwise(F.col("part_b"))
-    # owner parts computed once into the cache; every downstream job
-    # reads them instead of re-evaluating the when/pmod expressions
-    j = (
-        joined_edges(edges_sym, vmeta, broadcast_meta)
-        .withColumn("down_p", down_owner)
-        .withColumn("up_p", up_owner)
-        .withColumn("hash_p", hash_owner)
-        .persist()
-    )
-    try:
-        down_owner, up_owner, hash_owner = F.col("down_p"), F.col("up_p"), F.col("hash_p")
+    owners = {"down": down_owner, "up": up_owner, "hash": hash_owner}
+    ecv_wanted = [m for m in ("vcom_vol", "ecv_down", "ecv_up", "ecv_hash") if m in requested]
+    bal_wanted = [m for m in ("down_balance", "up_balance", "hash_balance", "vertex_balance")
+                  if m in requested]
 
-        scalars = j.agg(
-            F.count("*").alias("n_directed"),
-            F.sum(
-                ((F.col("src") < F.col("dst")) & (F.col("part_a") != F.col("part_b"))).cast("long")
-            ).alias("edges_cut"),
-        ).collect()[0]
-        n_edges = int(scalars["n_directed"]) // 2
-        edges_cut = int(scalars["edges_cut"] or 0)
+    j = joined_edges(edges_sym, vmeta, broadcast_meta)
 
-        if num_parts is None:
-            num_parts = int(vmeta.agg(F.max("part")).collect()[0][0] or 0) + 1
-        if num_parts <= 62:
-            # ONE pass over the edge-join: per src, bit_or each ownership
-            # rule's part into a long mask (integer shiftleft — no
-            # floating point), popcount at the end. vs the tagged union:
-            # 1x the scan instead of 5x, same exactness, same hub-safety
-            # (the group value is one long regardless of degree).
-            masked = j.select(
-                "src",
-                F.expr("shiftleft(CAST(1 AS BIGINT), part_a)").alias("ma"),
-                F.expr("shiftleft(CAST(1 AS BIGINT), part_b)").alias("mb"),
-                F.expr("shiftleft(CAST(1 AS BIGINT), down_p)").alias("md"),
-                F.expr("shiftleft(CAST(1 AS BIGINT), up_p)").alias("mu"),
-                F.expr("shiftleft(CAST(1 AS BIGINT), hash_p)").alias("mh"),
-            )
-            per_vertex = masked.groupBy("src").agg(
-                (F.bit_count(F.bit_or("ma").bitwiseOR(F.bit_or("mb"))) - 1).alias("vcom"),
-                (F.bit_count(F.bit_or("md")) - 1).alias("down"),
-                (F.bit_count(F.bit_or("mu")) - 1).alias("up"),
-                (F.bit_count(F.bit_or("mh")) - 1).alias("hash"),
-            )
-            row = per_vertex.agg(
-                *[F.sum(c).alias(c) for c in ("vcom", "down", "up", "hash")]
+    if num_parts is None:
+        num_parts = int(vmeta.agg(F.max("part")).collect()[0][0] or 0) + 1
+
+    out: dict = {}
+    ecv: dict = {}
+    if num_parts <= 62:
+        # Job 1 — ONE pass over the edge-join: per src, bit_or each
+        # requested ownership rule's part into a long mask (integer
+        # shiftleft — no floating point), popcount at the end; the
+        # scalar counts ride along as plain sums. Map-side partials
+        # absorb hub skew (the group value is one long per rule
+        # regardless of degree).
+        mask_cols = {
+            "vcom_a": F.expr("shiftleft(CAST(1 AS BIGINT), part_a)"),
+            "vcom_b": F.expr("shiftleft(CAST(1 AS BIGINT), part_b)"),
+        }
+        sel = [
+            "src",
+            ((F.col("src") < F.col("dst")) & (F.col("part_a") != F.col("part_b")))
+            .cast("long").alias("cut"),
+        ]
+        aggs = [F.count("*").alias("n_directed"), F.sum("cut").alias("edges_cut")]
+        if "vcom_vol" in ecv_wanted:
+            sel += [mask_cols["vcom_a"].alias("ma"), mask_cols["vcom_b"].alias("mb")]
+            aggs.append((F.bit_count(F.bit_or("ma").bitwiseOR(F.bit_or("mb"))) - 1).alias("vcom_vol"))
+        jj = j
+        for name, owner in owners.items():
+            key = f"ecv_{name}"
+            if key in ecv_wanted:
+                # SQL shiftleft: the shift amount may be a column (the
+                # python F.shiftleft wrapper only takes a literal)
+                jj = jj.withColumn(f"{name}_p", owner)
+                sel.append(F.expr(f"shiftleft(CAST(1 AS BIGINT), {name}_p)").alias(f"m_{name}"))
+                aggs.append((F.bit_count(F.bit_or(f"m_{name}")) - 1).alias(key))
+        per_vertex = jj.select(*sel).groupBy("src").agg(*aggs)
+        final = [F.sum("n_directed").alias("n_directed"), F.sum("edges_cut").alias("edges_cut")]
+        final += [F.sum(m).alias(m) for m in ecv_wanted]
+        row = per_vertex.agg(*final).collect()[0]
+        out["n_edges"] = int(row["n_directed"] or 0) // 2
+        if "edges_cut" in requested:
+            out["edges_cut"] = int(row["edges_cut"] or 0)
+        for m in ecv_wanted:
+            ecv[m] = int(row[m] or 0)
+    else:
+        # >62 parts: cached join + metric-tagged union + two-stage
+        # distinct (the persist pays when the same join feeds 5 scans)
+        j = j.persist()
+        try:
+            scalars = j.agg(
+                F.count("*").alias("n_directed"),
+                F.sum(
+                    ((F.col("src") < F.col("dst")) & (F.col("part_a") != F.col("part_b"))).cast("long")
+                ).alias("edges_cut"),
             ).collect()[0]
-            ecv = {k: int(row[k] or 0) for k in ("vcom", "down", "up", "hash")}
-        else:
-            # >62 parts: metric-tagged union + two-stage distinct (the
-            # hub-skew-safe general form)
+            out["n_edges"] = int(scalars["n_directed"]) // 2
+            if "edges_cut" in requested:
+                out["edges_cut"] = int(scalars["edges_cut"] or 0)
+
             def tagged(metric, p_col):
                 return j.select(F.lit(metric).alias("metric"), "src", p_col.alias("p"))
 
-            ecv_rows = (
-                tagged("vcom", F.col("part_b"))
-                .unionAll(tagged("vcom", F.col("part_a")))
-                .unionAll(tagged("down", down_owner))
-                .unionAll(tagged("up", up_owner))
-                .unionAll(tagged("hash", hash_owner))
-            )
-            per_vertex = (
-                ecv_rows.distinct()
-                .groupBy("metric", "src")
-                .agg((F.count("*") - 1).alias("c"))
-                .groupBy("metric")
-                .agg(F.sum("c").alias("s"))
-            )
-            ecv = {r["metric"]: int(r["s"]) for r in per_vertex.collect()}
+            ecv_rows = None
+            if "vcom_vol" in ecv_wanted:
+                ecv_rows = tagged("vcom_vol", F.col("part_b")).unionAll(
+                    tagged("vcom_vol", F.col("part_a"))
+                )
+            for name, owner in owners.items():
+                key = f"ecv_{name}"
+                if key in ecv_wanted:
+                    t = tagged(key, owner)
+                    ecv_rows = t if ecv_rows is None else ecv_rows.unionAll(t)
+            if ecv_rows is not None:
+                per_vertex = (
+                    ecv_rows.distinct()
+                    .groupBy("metric", "src")
+                    .agg((F.count("*") - 1).alias("c"))
+                    .groupBy("metric")
+                    .agg(F.sum("c").alias("s"))
+                )
+                ecv = {r["metric"]: int(r["s"]) for r in per_vertex.collect()}
 
-        def load_rows(metric, p_col, cond):
-            return j.where(cond).select(F.lit(metric).alias("metric"), p_col.alias("part"))
+            if bal_wanted:
+                out.update(_balances(j, vmeta, owners, bal_wanted))
+                bal_wanted = []
+        finally:
+            j.unpersist()
 
-        bal_rows = (
-            load_rows("down", down_owner, F.col("pos_a") < F.col("pos_b"))
-            .unionAll(load_rows("up", up_owner, F.col("pos_a") > F.col("pos_b")))
-            .unionAll(load_rows("hash", hash_owner, F.col("src") < F.col("dst")))
-            .unionAll(
-                vmeta.select(F.lit("vertex").alias("metric"), F.col("part"))
-            )
+    # Job 2 — all requested per-part max loads in ONE scan: each edge row
+    # explodes into its (metric, owner-part) contributions, then a single
+    # two-stage (metric, part) count + per-metric max.
+    if bal_wanted:
+        out.update(_balances(j, vmeta, owners, bal_wanted))
+
+    for m in ecv_wanted:
+        out[m] = ecv.get(m, 0)
+    if "ecv_down" in requested:
+        out["ecv_down_per_edge"] = out["ecv_down"] / max(out["n_edges"], 1)
+    return out
+
+
+def _balances(j: DataFrame, vmeta: DataFrame, owners: dict, wanted: list) -> dict:
+    conds = {
+        "down_balance": (F.col("pos_a") < F.col("pos_b"), owners["down"]),
+        "up_balance": (F.col("pos_a") > F.col("pos_b"), owners["up"]),
+        "hash_balance": (F.col("src") < F.col("dst"), owners["hash"]),
+    }
+    elems = [
+        F.when(cond, F.struct(F.lit(m).alias("metric"), owner.alias("part")))
+        for m, (cond, owner) in conds.items()
+        if m in wanted
+    ]
+    rows = None
+    if elems:
+        rows = (
+            j.select(F.explode(F.array(*elems)).alias("mp"))
+            .where(F.col("mp").isNotNull())
+            .select("mp.metric", "mp.part")
         )
-        balances = {
-            r["metric"]: int(r["m"])
-            for r in bal_rows.groupBy("metric", "part")
-            .count()
-            .groupBy("metric")
-            .agg(F.max("count").alias("m"))
-            .collect()
-        }
-
-        return {
-            "n_edges": n_edges,
-            "edges_cut": edges_cut,
-            "vcom_vol": ecv.get("vcom", 0),
-            "ecv_down": ecv.get("down", 0),
-            "ecv_up": ecv.get("up", 0),
-            "ecv_hash": ecv.get("hash", 0),
-            "down_balance": balances.get("down", 0),
-            "up_balance": balances.get("up", 0),
-            "hash_balance": balances.get("hash", 0),
-            "vertex_balance": balances.get("vertex", 0),
-            "ecv_down_per_edge": ecv.get("down", 0) / max(n_edges, 1),
-        }
-    finally:
-        j.unpersist()
+    if "vertex_balance" in wanted:
+        v = vmeta.select(F.lit("vertex_balance").alias("metric"), F.col("part"))
+        rows = v if rows is None else rows.unionAll(v)
+    got = {
+        r["metric"]: int(r["m"])
+        for r in rows.groupBy("metric", "part")
+        .count()
+        .groupBy("metric")
+        .agg(F.max("count").alias("m"))
+        .collect()
+    }
+    return {m: got.get(m, 0) for m in wanted}
 
 
 def evaluate_oracle(edges: list[tuple[int, int]], pos: dict[int, int], part: dict[int, int],

@@ -133,12 +133,18 @@ def write_metis_adj(edges_sym: DataFrame, vertices: DataFrame, path: str) -> Non
         .agg(F.sort_array(F.collect_list(F.col("pd") + 1)).alias("nbrs"))
         .orderBy("ps")
     )
-    rows = adj.collect()
-    n_edges = sum(len(r["nbrs"]) for r in rows) // 2
+    # METIS requires one line per vertex at exactly line pos+1: emit empty
+    # lines for zero-degree vertices (ADVICE r2 — the edge join drops
+    # them, which silently shifted every later line) and take the header
+    # count from `vertices`, not from the join.
+    nbrs_by_pos = {r["ps"]: r["nbrs"] for r in adj.collect()}
+    n_vertices = vertices.count()
+    n_edges = sum(len(nb) for nb in nbrs_by_pos.values()) // 2
     with open(path, "w") as f:
-        f.write(f"{len(rows)} {n_edges} 010\n")
-        for r in rows:
-            f.write(" ".join([str(len(r["nbrs"]))] + [str(x) for x in r["nbrs"]]) + "\n")
+        f.write(f"{n_vertices} {n_edges} 010\n")
+        for pos in range(n_vertices):
+            nb = nbrs_by_pos.get(pos, [])
+            f.write(" ".join([str(len(nb))] + [str(x) for x in nb]) + "\n")
 
 
 def write_tree_dot(tree_df: DataFrame, path: str) -> None:

@@ -30,10 +30,39 @@ from pyspark.sql import functions as F
 EVENTS_SCHEMA = "event_id long, user_id long, event_type string, ts timestamp_ntz, value double"
 
 
+def _require_whole_hour_tz(spark: SparkSession) -> None:
+    """The hourly-window ≡ batch-date_trunc equivalence only holds when
+    the session timezone's UTC offset is a whole hour (see
+    events_rollup_frame). Fail loudly otherwise."""
+    from datetime import datetime
+    from zoneinfo import ZoneInfo
+
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        off = datetime(2026, 1, 15, tzinfo=ZoneInfo(tz)).utcoffset()
+        whole = off is not None and off.total_seconds() % 3600 == 0
+    except Exception:
+        whole = tz.upper() in ("UTC", "GMT", "Z")
+    if not whole:
+        raise ValueError(
+            f"stream_events_rollup requires a whole-hour-offset session "
+            f"timezone (got {tz!r}): hourly windows on the cast timestamp "
+            "would land on sub-hour boundaries and diverge from the batch "
+            "rollup. Set spark.sql.session.timeZone=UTC."
+        )
+
+
 def events_rollup_frame(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Watermarked hourly rollup (streaming-safe form of q_events_rollup):
     counts + sums per (event_type, hour window). Late rows beyond the
-    watermark are dropped deterministically."""
+    watermark are dropped deterministically.
+
+    Timezone contract (ADVICE r2): watermarks require TIMESTAMP (Spark
+    rejects TIMESTAMP_NTZ event time), so the ntz column is cast — which
+    makes window buckets align to absolute epoch hours. That equals the
+    batch ``date_trunc('hour', ts)`` only when the session timezone has
+    a whole-hour UTC offset; ``_require_whole_hour_tz`` enforces it
+    loudly at the entry points instead of diverging silently at +05:30."""
     e = events.withColumn("ts_evt", F.col("ts").cast("timestamp"))
     return (
         e.withWatermark("ts_evt", watermark)
@@ -61,10 +90,54 @@ def stream_events_rollup(
 ):
     """Stream an events parquet directory into an hourly-rollup parquet
     sink. Returns the StreamingQuery (caller awaits/stops)."""
+    _require_whole_hour_tz(spark)
     src = spark.readStream.schema(EVENTS_SCHEMA).parquet(input_dir)
     rolled = events_rollup_frame(src, watermark)
     writer = (
         rolled.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_pages_dedup(
+    spark: SparkSession,
+    pages_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "1 hour",
+    available_now: bool = True,
+):
+    """Streaming exact-dedup front-end for the pages corpus: keep the
+    first page seen per content fingerprint (md5 of textops-normalized
+    text — identical to the batch ``textops.fingerprint`` family).
+
+    State shape: ``dropDuplicatesWithinWatermark`` on the fingerprint
+    key with an event-time watermark on ``warc_ts``, so per-key state is
+    EVICTED once the watermark passes — bounded state at 10^12-page
+    scale, unlike a plain streaming dropDuplicates whose key set grows
+    forever. Within any window shorter than the watermark the result
+    matches the batch dedup keeper-set (asserted by
+    tests/test_streaming.py); duplicates arriving later than the
+    watermark re-emit — the documented, deliberate trade for bounded
+    state. Sink + checkpointLocation give exactly-once resume like the
+    other two front-ends."""
+    from .corpus import PAGES_SCHEMA
+    from .textops import normalized_text
+
+    src = spark.readStream.schema(PAGES_SCHEMA).parquet(pages_dir)
+    deduped = (
+        src.withColumn("fingerprint", F.md5(normalized_text(F.col("text"))))
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+        .select("url", "warc_ts", "fingerprint")
+    )
+    writer = (
+        deduped.writeStream.outputMode("append")
         .format("parquet")
         .option("path", output_dir)
         .option("checkpointLocation", checkpoint_dir)

@@ -108,27 +108,34 @@ def jaccard_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
     """Exact token-set Jaccard near-duplicate pairs (doc_a < doc_b,
     jaccard ≥ threshold). The candidate join goes through shared tokens
     with map-side distinct; at web scale prefilter with minhash_lsh_pairs
-    and use this as the verify step on candidates only."""
+    and use this as the verify step on candidates only.
+
+    Eager: the (small) result is materialized via localCheckpoint and
+    the token cache released in ``finally`` — the r2 version persisted
+    ``toks`` for the life of the session (VERDICT r2 task 6)."""
     toks = _doc_tokens(documents).persist()
-    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    inter = (
-        toks.alias("x")
-        .join(toks.alias("y"), "tok")
-        .where(F.col("x.doc_id") < F.col("y.doc_id"))
-        .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .agg(F.count("*").cast("double").alias("inter"))
-    )
-    out = (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sa"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sb"), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(F.col("inter") / (F.col("sa") + F.col("sb") - F.col("inter")), 6).alias("jaccard"),
+    try:
+        sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
+        inter = (
+            toks.alias("x")
+            .join(toks.alias("y"), "tok")
+            .where(F.col("x.doc_id") < F.col("y.doc_id"))
+            .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+            .agg(F.count("*").cast("double").alias("inter"))
         )
-        .where(F.col("jaccard") >= threshold)
-    )
-    return out
+        out = (
+            inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sa"), "doc_a")
+            .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sb"), "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                F.round(F.col("inter") / (F.col("sa") + F.col("sb") - F.col("inter")), 6).alias("jaccard"),
+            )
+            .where(F.col("jaccard") >= threshold)
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        toks.unpersist()
 
 
 def minhash_signatures(documents: DataFrame, k: int = MINHASH_K) -> DataFrame:
@@ -152,30 +159,37 @@ def minhash_lsh_pairs(
     Banding: signature split into ``bands`` bands of k/bands rows; docs
     sharing any full band collide. For each colliding pair (doc_a <
     doc_b) the estimate = fraction of the k minhashes that agree.
-    Deterministic end to end (md5 family)."""
+    Deterministic end to end (md5 family).
+
+    Eager: the pair result is materialized and the signature cache
+    released in ``finally`` (the r2 version persisted ``sig`` for the
+    life of the session — VERDICT r2 task 6)."""
     sig = minhash_signatures(documents, k).persist()
-    rows_per_band = k // bands
-    banded = sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-    band_key = banded.groupBy("doc_id", "band").agg(
-        F.md5(F.concat_ws("|", F.sort_array(F.collect_list(F.concat_ws(":", F.col("seed").cast("string"), F.col("minhash")))))).alias("bkey")
-    )
-    cand = (
-        band_key.alias("x")
-        .join(band_key.alias("y"), ["band", "bkey"])
-        .where(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    agree = (
-        cand.join(sig.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("minhash", "ma"), "doc_a")
-        .join(
-            sig.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("minhash", "mb"),
-            ["doc_b", "seed"],
+    try:
+        rows_per_band = k // bands
+        banded = sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        band_key = banded.groupBy("doc_id", "band").agg(
+            F.md5(F.concat_ws("|", F.sort_array(F.collect_list(F.concat_ws(":", F.col("seed").cast("string"), F.col("minhash")))))).alias("bkey")
         )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.round(F.sum((F.col("ma") == F.col("mb")).cast("int")) / F.lit(float(k)), 6).alias("est_jaccard"))
-    )
-    return agree.where(F.col("est_jaccard") >= threshold)
+        cand = (
+            band_key.alias("x")
+            .join(band_key.alias("y"), ["band", "bkey"])
+            .where(F.col("x.doc_id") < F.col("y.doc_id"))
+            .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+            .distinct()
+        )
+        agree = (
+            cand.join(sig.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("minhash", "ma"), "doc_a")
+            .join(
+                sig.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("minhash", "mb"),
+                ["doc_b", "seed"],
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.round(F.sum((F.col("ma") == F.col("mb")).cast("int")) / F.lit(float(k)), 6).alias("est_jaccard"))
+        )
+        return agree.where(F.col("est_jaccard") >= threshold).localCheckpoint(eager=True)
+    finally:
+        sig.unpersist()
 
 
 def simhash64(documents: DataFrame) -> DataFrame:

@@ -48,8 +48,17 @@ TREE_EDGE_SCHEMA = "lo long, hi long"
 
 # _eliminate runs the numpy Boruvka pre-selection only above this input
 # size; below it the plain Python sweep is cheaper (selection costs a few
-# O(E) numpy/hash passes and only wins when most edges are redundant).
+# O(E) numpy/hash passes per round, each ~20-40x cheaper per edge than
+# the interpreted sweep).
 MSF_SELECT_MIN_EDGES = 1_500_000
+
+# Stop selecting when a Boruvka round shrinks the remaining edge set by
+# less than this fraction. A selection round costs ~1/20 of the sweep per
+# edge, so even a 5%-per-round reduction still pays; the old 0.75 exit
+# bailed on round 2 for typical power-law graphs and retained ~all edges
+# (the source of round 2's impossible "99.3% union-effective" claim —
+# retention was the SELECTOR quitting, not the input being effective).
+_MSF_EXIT_FRACTION = 0.95
 
 
 def _find(uf: np.ndarray, x: int) -> int:
@@ -72,50 +81,99 @@ def _msf_select(lo: np.ndarray, hi: np.ndarray, n_vertices: int) -> tuple[np.nda
     partition property, *any* MSF under that weight induces the same
     component partition below every threshold, so sweeping ONLY the
     selected ≤V-1 edges yields the identical (kid, parent) set while the
-    O(E) bulk is handled here at numpy speed: per round, each component
-    picks its minimum-weight incident edge (lexsort + first-per-group),
-    2-cycles are broken, labels contract by pointer jumping. O(log V)
-    rounds, no Python per-edge loop.
+    O(E) bulk is handled here at numpy speed: per round, parallel edges
+    between the same component pair are deduped to the minimum, each
+    component picks its minimum-weight incident edge (hash-pass
+    first-per-group over the weight-ordered slots), 2-cycles are broken,
+    labels contract by pointer jumping. O(log V) rounds, no Python
+    per-edge loop.
+
+    Run to (near-)completion the selection returns EXACTLY the MSF
+    (every Boruvka pick is an MSF edge by the cut property; nothing else
+    survives contraction), i.e. ≤V-1 edges, every one union-effective.
+    The early exit dumps the remainder unselected — exact either way,
+    because an edge is only ever DROPPED when its endpoints are already
+    connected by selected (= MSF) edges, which by the cycle property
+    proves it union-ineffective.
     """
     import pandas as pd
 
-    # ONE global sort by (weight=hi, input order) — argsort is stable, so
-    # ties keep input order; this order is then invariant across rounds.
-    order0 = np.argsort(hi, kind="stable")
-    cur_lo = lo[order0]
-    cur_hi = hi[order0]
+    # ONE global sort by weight=hi. Tie-break among equal-hi edges is
+    # free to be anything (same-hi edges commute: the sweep's output pair
+    # for each is (component-max, hi) regardless of order — asserted by
+    # test_msf_select_preserves_sweep_output), so prefer a VALUE sort of
+    # the packed (hi, lo) key — ~4× faster than a stable argsort at 35M.
+    if n_vertices < 2**31:
+        packed = np.sort((hi.astype(np.int64) << 31) | lo.astype(np.int64))
+        cur_hi = packed >> 31
+        cur_lo = packed & ((1 << 31) - 1)
+    else:
+        order0 = np.argsort(hi, kind="stable")
+        cur_lo = lo[order0]
+        cur_hi = hi[order0]
 
     label = np.arange(n_vertices, dtype=np.int64)
     sel_lo: list[np.ndarray] = []
     sel_hi: list[np.ndarray] = []
     prev_len = None
+    first_round = True
     while len(cur_lo):
-        a = label[cur_lo]
-        b = label[cur_hi]
-        keep = a != b
-        if not keep.any():
-            break
-        cur_lo, cur_hi = cur_lo[keep], cur_hi[keep]
-        a, b = a[keep], b[keep]
-        # Early exit when rounds stop paying (mostly-effective input, e.g.
-        # a sparse slice): every edge dropped so far was intra-component
-        # under strictly-smaller-weight selected edges — i.e. provably
-        # union-ineffective — so handing the remainder straight to the
-        # sweep is exact, not an approximation.
-        if prev_len is not None and len(cur_lo) > 0.75 * prev_len:
-            sel_lo.append(cur_lo)
-            sel_hi.append(cur_hi)
-            break
+        if first_round:
+            # labels are identity: skip the gather, the intra-component
+            # filter (no self loops survive to pos space; a stray one
+            # would be selected then skipped by the sweep — harmless),
+            # and the pair dedup (duplicate edges can't BOTH be selected:
+            # the duplicate's slots hit already-claimed components).
+            a, b = cur_lo, cur_hi
+        else:
+            a = label[cur_lo]
+            b = label[cur_hi]
+            keep = a != b
+            if not keep.any():
+                break
+            cur_lo, cur_hi = cur_lo[keep], cur_hi[keep]
+            a, b = a[keep], b[keep]
+            # Component-pair dedup: of parallel edges between the same
+            # two components only the minimum can be in the MSF (swap
+            # argument: exchanging it for a heavier parallel edge
+            # strictly lowers the tree weight), and slot order IS weight
+            # order, so keep-first is keep-min. Bounds late rounds by
+            # #component-pairs and makes the early exit measure true
+            # progress.
+            if n_vertices < 3_000_000_000:  # pair key fits int64
+                pk = np.minimum(a, b) * n_vertices + np.maximum(a, b)
+                first_pair = ~pd.Series(pk).duplicated().to_numpy()
+                if not first_pair.all():
+                    cur_lo, cur_hi = cur_lo[first_pair], cur_hi[first_pair]
+                    a, b = a[first_pair], b[first_pair]
+            # Early exit when rounds stop paying: a selection round costs
+            # a few O(E) numpy passes (~1/20 of the interpreted sweep per
+            # edge), so keep going while it removes ≥5%/round. The
+            # remainder is handed to the sweep unselected — exact (see
+            # docstring).
+            if prev_len is not None and len(cur_lo) > _MSF_EXIT_FRACTION * prev_len:
+                sel_lo.append(cur_lo)
+                sel_hi.append(cur_hi)
+                break
+        first_round = False
         prev_len = len(cur_lo)
         n_e = len(a)
         # min-weight incident edge per component WITHOUT a per-round sort:
         # interleave (a0,b0,a1,b1,...) so slot order == weight order, then
-        # first occurrence per component via a hash pass (C speed).
+        # first occurrence per component. Labels are < n_vertices, so a
+        # direct-address scatter (reverse order → first write wins) beats
+        # a hash pass ~5× when the round is big; small rounds use the
+        # hash to avoid the O(V) table fill.
         comps2 = np.empty(2 * n_e, dtype=np.int64)
         comps2[0::2] = a
         comps2[1::2] = b
-        first = ~pd.Series(comps2).duplicated().to_numpy()
-        slots = np.flatnonzero(first)
+        if 8 * n_e >= n_vertices:
+            idx = np.arange(2 * n_e, dtype=np.int64)
+            firstslot = np.full(n_vertices, -1, dtype=np.int64)
+            firstslot[comps2[::-1]] = idx[::-1]  # repeated idx: last write (= first slot) wins
+            slots = np.flatnonzero(firstslot[comps2] == idx)
+        else:
+            slots = np.flatnonzero(~pd.Series(comps2).duplicated().to_numpy())
         e = slots >> 1                    # each component's min edge id
         c = comps2[slots]
         o = comps2[slots ^ 1]             # the other endpoint's label
@@ -151,21 +209,24 @@ def _eliminate(lo: np.ndarray, hi: np.ndarray, n_vertices: int,
 
     ``select=True`` runs the vectorized Boruvka pass (_msf_select)
     first, dropping union-ineffective edges at numpy speed so the Python
-    sweep touches only the surviving ≤V-1 forest edges. Selection pays
-    ONLY on redundancy-heavy input — the tree-merge reduction stages,
-    whose union of fan_in forests compresses ~fan_in× — and is gated on
-    input size besides. Raw graph slices are mostly union-effective
-    (measured: 35M-edge power-law graph kept 99.3% through selection),
-    so stage-1/driver sweeps pass select=False and skip straight to the
-    O(E α) sweep at ~0.5M edges/s/core.
+    sweep touches only the surviving ≤V-1 forest edges (plus an exactly-
+    handled early-exit remainder). On any graph with E ≫ V the sweep
+    input shrinks ~E/V×: at most V-1 edges can ever cause a union, so
+    selection pays everywhere the gate admits it — raw driver sweeps,
+    stage-1 slices, and the merge rounds alike. (Round 2 disabled it on
+    the driver path off a mis-measured "99.3% union-effective" figure;
+    that was _msf_select's old 0.75 early-exit quitting after one round,
+    i.e. selection RETENTION, not input effectiveness — on a 4.0M-vertex
+    35M-edge graph ≤11.4% of edges can union.)
     """
     if select and len(lo) >= MSF_SELECT_MIN_EDGES:
         lo, hi = _msf_select(lo, hi, n_vertices)
     order = np.argsort(hi, kind="stable")
     # python lists: ~2x faster element access than numpy scalars in the
-    # interpreted sweep; fall back to numpy above 50M vertices where the
-    # pointer-per-int list overhead would dominate task memory
-    use_lists = n_vertices <= 50_000_000
+    # interpreted sweep; fall back to numpy when the pointer-per-int list
+    # overhead would dominate task/driver memory (ADVICE r2: gate on the
+    # EDGE count too — two 100M-element int lists cost ~7-10 GB)
+    use_lists = n_vertices <= 50_000_000 and len(lo) <= 30_000_000
     if use_lists:
         lo_l = lo[order].tolist()
         hi_l = hi[order].tolist()
@@ -254,22 +315,19 @@ def build_parent_edges(
         if n_edges is not None:
             n_partials = max(n_partials, int(n_edges // 2_000_000) + 1)
 
-    # stage 1 sees raw graph slices (mostly union-effective → skip the
-    # Boruvka pre-selection); merge rounds see unions of forests, which
-    # compress ~fan_in× → select pays there
-    def kernel_raw(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        return _eliminate_arrow(it, n_vertices, select=False)
-
-    def kernel_merge(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    # Boruvka pre-selection runs in EVERY kernel (above the size gate):
+    # stage-1 slices shrink toward their local vertex count, merge rounds
+    # compress their union of fan_in forests ~fan_in×.
+    def kernel(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         return _eliminate_arrow(it, n_vertices, select=True)
 
     t = edges_pos_df.select("lo", "hi").repartition(n_partials).mapInArrow(
-        kernel_raw, TREE_EDGE_SCHEMA
+        kernel, TREE_EDGE_SCHEMA
     )
     p = n_partials
     while p > 1:
         p = max(1, p // fan_in)
-        t = t.repartition(p).mapInArrow(kernel_merge, TREE_EDGE_SCHEMA)
+        t = t.repartition(p).mapInArrow(kernel, TREE_EDGE_SCHEMA)
     return t
 
 
@@ -286,11 +344,12 @@ def build_parent_edges_driver(edges_pos_df: DataFrame, n_vertices: int) -> DataF
 
     This is the deliberate analogue of sheep's rank-0 funnel (the
     partition step already centralizes O(V); this centralizes O(E) for
-    graphs under DRIVER_TREE_MAX_EDGES). Measured on a 35M-edge
-    power-law graph under an 8-core quota: 85s total vs 390s for the
-    map/reduce path, whose per-task Python/JVM co-scheduling overhead
-    dominates at sandbox scale. Beyond the cap, build_parent_edges
-    distributes; results are identical (same kernel, same order laws).
+    graphs under DRIVER_TREE_MAX_EDGES). Beyond the cap,
+    build_parent_edges distributes; results are identical (same kernel,
+    same order laws). Boruvka pre-selection (select=True, the default)
+    cuts the interpreted sweep's input from E to ≤V-1 — on a 35M-edge /
+    4.0M-vertex graph that is a ~9× smaller sweep; see BASELINE.md for
+    the measured retention and stage walls.
     """
     import pandas as pd
 
@@ -298,7 +357,6 @@ def build_parent_edges_driver(edges_pos_df: DataFrame, n_vertices: int) -> DataF
     pdf = edges_pos_df.select("lo", "hi").toPandas()
     kid, par = _eliminate(
         pdf["lo"].to_numpy(np.int64), pdf["hi"].to_numpy(np.int64), n_vertices,
-        select=False,
     )
     return spark.createDataFrame(pd.DataFrame({"lo": kid, "hi": par}))
 

@@ -55,6 +55,30 @@ def test_knuth_hash_variant_matches_port(spark):
     assert ("ecv_hash", got["ecv_hash"]) != ("ecv_hash", None) and base["n_edges"] == want["n_edges"]
 
 
+def test_metrics_subset_fast_mode(spark):
+    """metrics=(...) subset mode (the at-scale quality gate) must return
+    exactly the requested keys with the same values as the full suite."""
+    edges = random_graph(70, 150, seed=11)
+    sym = edges_df(spark, edges)
+    verts = graph.vertices_from_edges(sym)
+    vmeta = partitioner.vertex_meta(verts, partitioner.naive_partition(verts, 4)).persist()
+    full = evaluate.evaluate(sym, vmeta)
+    fast = evaluate.evaluate(sym, vmeta, metrics=("edges_cut", "ecv_down", "down_balance"))
+    assert set(fast) == {"n_edges", "edges_cut", "ecv_down", "down_balance", "ecv_down_per_edge"}
+    for k in fast:
+        assert fast[k] == full[k], k
+    # balances-only and ecv-only subsets hit each single-job path
+    bal_only = evaluate.evaluate(sym, vmeta, metrics=("vertex_balance", "up_balance"))
+    assert bal_only["vertex_balance"] == full["vertex_balance"]
+    assert bal_only["up_balance"] == full["up_balance"]
+    ecv_only = evaluate.evaluate(sym, vmeta, metrics=("vcom_vol",))
+    assert ecv_only["vcom_vol"] == full["vcom_vol"]
+    import pytest
+
+    with pytest.raises(ValueError):
+        evaluate.evaluate(sym, vmeta, metrics=("nope",))
+
+
 def test_bitmask_and_distinct_paths_agree(spark):
     """The k<=62 bitmask single-pass and the general tagged-distinct path
     must produce identical metrics (num_parts=100 forces the fallback)."""

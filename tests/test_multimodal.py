@@ -1,12 +1,126 @@
+import numpy as np
 import pytest
 
 from sheep_spark import multimodal
+
+FIXTURES = "/root/repo/tests/fixtures"
+
+# goldens computed from the committed fixture bytes (decode verified
+# against the independent test-side encoders below)
+GOLDENS = {
+    "golden_6x4.bmp": (6, 4, [0.484477, 0.479085, 0.504902, 0.48364, 0.164543, 0.005859, 0.003906, 0.666667]),
+    "golden_5x3.ppm": (5, 3, [0.51817, 0.40183, 0.544314, 0.452859, 0.156518, 0.004883, 0.00293, 0.6]),
+    "golden_7x4.pgm": (7, 4, [0.463305, 0.463305, 0.463305, 0.463305, 0.287417, 0.006836, 0.003906, 0.571429]),
+}
+
+
+# --- independent encoders (the oracle: decoder must invert these) -----
+
+
+def encode_bmp24(px: np.ndarray) -> bytes:
+    h, w = px.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    raster = bytearray()
+    for row in px[::-1]:
+        line = bytearray()
+        for r, g, b in row:
+            line += bytes([b, g, r])
+        line += b"\x00" * (stride - len(line))
+        raster += line
+    pix_off = 54
+    size = pix_off + len(raster)
+    hdr = b"BM" + size.to_bytes(4, "little") + b"\x00" * 4 + pix_off.to_bytes(4, "little")
+    info = (
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(raster).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return bytes(hdr + info + raster)
+
+
+def encode_ppm6(px: np.ndarray) -> bytes:
+    h, w = px.shape[:2]
+    return b"P6\n# oracle\n%d %d\n255\n" % (w, h) + px.tobytes()
+
+
+def test_decoder_inverts_independent_encoders():
+    rng = np.random.default_rng(5)
+    for w, h in ((1, 1), (3, 2), (6, 4), (13, 7)):  # widths across pad phases
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert (multimodal.decode_image(encode_bmp24(px)) == px).all(), (w, h)
+        assert (multimodal.decode_image(encode_ppm6(px)) == px).all(), (w, h)
+
+
+def test_bmp_variant_topdown_32bit():
+    rng = np.random.default_rng(9)
+    h, w = 2, 3
+    px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    raster = b"".join(
+        bytes([int(b), int(g), int(r), 0xAA]) for row in px for (r, g, b) in row
+    )  # BGRA, stride w*4 needs no padding; negative height = top-down
+    hdr = b"BM" + (54 + len(raster)).to_bytes(4, "little") + b"\x00" * 4 + (54).to_bytes(4, "little")
+    info = (
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + (-h).to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (32).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(raster).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    assert (multimodal.decode_image(hdr + info + raster) == px).all()
+
+
+def test_decoder_golden_fixtures():
+    """Committed fixture files decode to exact golden dims + features
+    (VERDICT r2 task 5: strict mode is real and testable)."""
+    for name, (w, h, feat) in GOLDENS.items():
+        data = open(f"{FIXTURES}/{name}", "rb").read()
+        px = multimodal.decode_image(data)
+        assert px.shape == (h, w, 3), name
+        got = multimodal.image_feature_vector(px)
+        assert np.allclose(got, np.float32(feat), atol=1e-6), name
+
+
+def test_decoder_rejects_garbage_and_names_real_codecs():
+    with pytest.raises(ValueError, match="unrecognized"):
+        multimodal.decode_image(b"\x00\x01\x02 not an image")
+    with pytest.raises(NotImplementedError, match="JPEG"):
+        multimodal.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.decode_image(b"P6\n4 4\n255\n" + b"\x00" * 5)
 
 
 @pytest.fixture(scope="module")
 def media(spark):
     rows = [(i, "image", bytes([i % 256]) * (512 + 300 * i), "image/fake") for i in range(6)]
     return spark.createDataFrame(rows, "media_id long, kind string, payload binary, mime string")
+
+
+@pytest.fixture(scope="module")
+def real_media(spark):
+    rows = [
+        (100 + i, "image", open(f"{FIXTURES}/{name}", "rb").read(), f"image/{name.split('.')[-1]}")
+        for i, name in enumerate(sorted(GOLDENS))
+    ]
+    return spark.createDataFrame(rows, "media_id long, kind string, payload binary, mime string")
+
+
+def test_image_features_strict_real_decode(spark, real_media):
+    """strict=True end-to-end over the Arrow plumbing on committed
+    fixtures — no fake path involved."""
+    got = {r.media_id: r for r in multimodal.image_features(real_media, strict=True).collect()}
+    for i, name in enumerate(sorted(GOLDENS)):
+        w, h, feat = GOLDENS[name]
+        r = got[100 + i]
+        assert (r.width, r.height) == (w, h), name
+        assert np.allclose(r.feature, np.float32(feat), atol=1e-6), name
 
 
 def test_image_features_shape_and_determinism(spark, media):
@@ -20,8 +134,8 @@ def test_image_features_shape_and_determinism(spark, media):
         assert all(0.0 <= x <= 1.0 for x in feat)
 
 
-def test_image_features_strict_raises(spark, media):
-    with pytest.raises(Exception, match="NotImplementedError|real image decode"):
+def test_image_features_strict_raises_on_opaque_bytes(spark, media):
+    with pytest.raises(Exception, match="unrecognized image format"):
         multimodal.image_features(media, strict=True).collect()
 
 

@@ -95,6 +95,57 @@ def test_stream_rollup_incremental_resume(spark, tmp_path):
     assert total == events.count()  # each row contributed exactly once
 
 
+def test_stream_pages_dedup_matches_batch_and_resumes(spark, tmp_path):
+    """Streaming exact-dedup (dropDuplicatesWithinWatermark on the
+    fingerprint): one output row per distinct fingerprint, equal to the
+    batch keeper set; duplicates arriving in a LATER availableNow run
+    are still suppressed (state survives the checkpoint resume)."""
+    pages = corpus.generate_pages(spark, 120, seed=13).persist()
+    dup_a = pages.limit(40).withColumn("url", F.concat(F.lit("dup-a-"), F.col("url")))
+    in_dir = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "out")
+    ck_dir = str(tmp_path / "ck")
+
+    # phase 1: originals + 40 same-text copies under different urls
+    pages.write.mode("overwrite").parquet(in_dir)
+    dup_a.write.mode("append").parquet(in_dir)
+    # the test watermark is huge so no state is evicted mid-run: the
+    # availableNow pass must then dedup EXACTLY
+    streaming.stream_pages_dedup(
+        spark, in_dir, out_dir, ck_dir, watermark="365 days"
+    ).awaitTermination(180)
+
+    from sheep_spark.textops import normalized_text
+
+    batch_fps = {
+        r.fp for r in pages.select(F.md5(normalized_text(F.col("text"))).alias("fp")).collect()
+    }
+    got = spark.read.parquet(out_dir).collect()
+    assert len(got) == len(batch_fps)  # one keeper per distinct text
+    assert {r.fingerprint for r in got} == batch_fps
+
+    # phase 2: new files = more copies of phase-1 texts + 30 new pages;
+    # the resume must process only the new files and suppress the old
+    # fingerprints from checkpointed state
+    dup_b = pages.limit(25).withColumn("url", F.concat(F.lit("dup-b-"), F.col("url")))
+    new_pages = corpus.generate_pages(spark, 30, seed=14).withColumn(
+        "url", F.concat(F.lit("new-"), F.col("url"))
+    )
+    dup_b.write.mode("append").parquet(in_dir)
+    new_pages.write.mode("append").parquet(in_dir)
+    streaming.stream_pages_dedup(
+        spark, in_dir, out_dir, ck_dir, watermark="365 days"
+    ).awaitTermination(180)
+
+    new_fps = {
+        r.fp
+        for r in new_pages.select(F.md5(normalized_text(F.col("text"))).alias("fp")).collect()
+    }
+    got2 = spark.read.parquet(out_dir).collect()
+    assert {r.fingerprint for r in got2} == batch_fps | new_fps
+    assert len(got2) == len(batch_fps | new_fps)  # no re-emits across runs
+
+
 def test_stream_pages_to_edges_matches_batch(spark, tmp_path):
     pages = corpus.generate_pages(spark, 200, seed=11).persist()
     in_dir = str(tmp_path / "pages")
