@@ -597,7 +597,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
                    CAST(length(text) AS BIGINT) AS n_chars_text,
-                   CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_distinct_tokens
+                   CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_distinct_tokens,
+                   CAST(len(regexp_extract_all(text,
+                        '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'))
+                        AS BIGINT) AS n_bpe_tokens
             FROM documents""",
         "quality_score": rf"""
             SELECT doc_id,

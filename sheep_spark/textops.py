@@ -30,6 +30,13 @@ STOPWORDS_FR = "le|la|les|et|est|un|une|des|dans|pour"
 MINHASH_K = 16  # signature length
 LSH_BANDS = 4  # bands of MINHASH_K // LSH_BANDS rows each
 
+# GPT-2-style pre-tokenizer pattern, restricted to constructs RE2 also
+# supports (no lookahead — the trailing-space lookahead of the original
+# is dropped; whitespace runs are simply not counted as tokens). The
+# SAME string runs under Java regex (Spark) and RE2 (DuckDB), so the
+# count is oracle-checkable bit-for-bit.
+BPE_ISH_RE = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
 
 def normalized_text(col):
     """Whitespace-collapsed lowercase text — the fingerprint input."""
@@ -54,13 +61,17 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
 
 
 def token_stats(documents: DataFrame) -> DataFrame:
-    """Whitespace token count + char counts per doc."""
+    """Whitespace + BPE-ish-regex token counts and char counts per doc
+    (the two token-counting modes an LLM-data pipeline budgets with)."""
     toks = F.split(F.trim(F.col("text")), r"\s+")
     return documents.select(
         "doc_id",
         F.size(toks).cast("long").alias("n_tokens"),
         F.length(F.col("text")).cast("long").alias("n_chars_text"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_bpe_tokens"),
     )
 
 

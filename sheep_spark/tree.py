@@ -338,7 +338,8 @@ def build_parent_edges(
 DRIVER_TREE_MAX_EDGES = 100_000_000
 
 
-def build_parent_edges_driver(edges_pos_df: DataFrame, n_vertices: int) -> DataFrame:
+def build_parent_edges_driver(edges_pos_df: DataFrame, n_vertices: int,
+                              timings: dict | None = None) -> DataFrame:
     """Single-sweep tree build on the driver: Arrow-collect the (lo, hi)
     pairs, one _eliminate, ship the ≤V-1 tree edges back via Arrow.
 
@@ -351,20 +352,34 @@ def build_parent_edges_driver(edges_pos_df: DataFrame, n_vertices: int) -> DataF
     4.0M-vertex graph that is a ~9× smaller sweep; see BASELINE.md for
     the measured retention and stage walls.
     """
+    import time
+
     import pandas as pd
 
     spark = edges_pos_df.sparkSession
-    pdf = edges_pos_df.select("lo", "hi").toPandas()
-    kid, par = _eliminate(
-        pdf["lo"].to_numpy(np.int64), pdf["hi"].to_numpy(np.int64), n_vertices,
-    )
+    t0 = time.monotonic()
+    sel = edges_pos_df.select("lo", "hi")
+    if hasattr(sel, "toArrow"):  # Spark 4: arrow table, no pandas copy
+        tbl = sel.toArrow()
+        lo = tbl.column("lo").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        hi = tbl.column("hi").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    else:
+        pdf = sel.toPandas()
+        lo = pdf["lo"].to_numpy(np.int64)
+        hi = pdf["hi"].to_numpy(np.int64)
+    if timings is not None:
+        timings["collect_s"] = round(time.monotonic() - t0, 2)
+    t0 = time.monotonic()
+    kid, par = _eliminate(lo, hi, n_vertices)
+    if timings is not None:
+        timings["kernel_s"] = round(time.monotonic() - t0, 2)
     return spark.createDataFrame(pd.DataFrame({"lo": kid, "hi": par}))
 
 
 def build_tree(
     edges_pos_df: DataFrame, n_vertices: int, n_partials: int | None = None,
     with_pre_weight: bool = False, n_edges: int | None = None,
-    strategy: str = "auto",
+    strategy: str = "auto", timings: dict | None = None,
 ) -> DataFrame:
     """``tree(jnid, parent, pst_weight[, pre_weight])`` over jnid = 0..V-1.
 
@@ -391,7 +406,7 @@ def build_tree(
             else "mapreduce"
         )
     if strategy == "driver":
-        parents = build_parent_edges_driver(edges_pos_df, n_vertices)
+        parents = build_parent_edges_driver(edges_pos_df, n_vertices, timings=timings)
     else:
         parents = build_parent_edges(
             edges_pos_df, n_vertices, n_partials, n_edges=n_edges

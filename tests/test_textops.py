@@ -41,8 +41,34 @@ def test_token_stats_matches_duckdb(docs, duck):
             r"""SELECT doc_id,
                    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT),
                    CAST(length(text) AS BIGINT),
-                   CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+                   CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT),
+                   CAST(len(regexp_extract_all(text,
+                        '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'))
+                        AS BIGINT)
                 FROM documents"""
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_bpe_ish_count_on_tricky_text(spark, duck):
+    """Java regex (Spark) and RE2 (DuckDB) must agree on the BPE-ish
+    pattern over contractions, digits, punctuation runs, and unicode."""
+    texts = [
+        "I'll don't can've it's 123 4.5x",
+        "héllo wörld — naïve café!!",
+        "  leading  spaces\tand\ttabs  ",
+        "a1b2c3 ... ?!? 'quoted'",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = rows(textops.token_stats(df).select("doc_id", "n_bpe_tokens"))
+    duck.execute("CREATE OR REPLACE TABLE tricky(doc_id BIGINT, text VARCHAR)")
+    duck.executemany("INSERT INTO tricky VALUES (?, ?)", list(enumerate(texts)))
+    want = sorted(
+        duck.execute(
+            r"""SELECT doc_id, CAST(len(regexp_extract_all(text,
+                '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'))
+                AS BIGINT) FROM tricky"""
         ).fetchall()
     )
     assert got == want
