@@ -184,6 +184,12 @@ def q_jaccard(spark, sf_dir):
     return textops.jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
 
 
+def q_jaccard_ngram(spark, sf_dir):
+    from sheep_spark import textops
+
+    return textops.jaccard_pairs(_docs(spark, sf_dir), threshold=0.5, ngram_chars=5)
+
+
 def q_minhash_lsh(spark, sf_dir):
     from sheep_spark import textops
 
@@ -346,6 +352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "fingerprint": q_fingerprint,
         "jaccard_pairs": q_jaccard,
+        "jaccard_ngram_pairs": q_jaccard_ngram,
         "minhash_lsh_pairs": q_minhash_lsh,
         "ann_cosine_topk": q_ann,
         "events_rollup": q_events_rollup,
@@ -639,6 +646,25 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_a, doc_b,
                    ROUND(i / (sa.sz + sb.sz - i), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE ROUND(i / (sa.sz + sb.sz - i), 6) >= 0.5""",
+        "jaccard_ngram_pairs": r"""WITH norm AS (
+              SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+              FROM documents
+            ),
+            toks AS (
+              SELECT DISTINCT doc_id, substr(t, CAST(i.i AS INT), 5) AS tok
+              FROM norm, LATERAL (SELECT unnest(range(1, greatest(length(t) - 3, 1))) AS i) i
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+            inter AS (
+              SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, CAST(COUNT(*) AS DOUBLE) AS i
+              FROM toks x JOIN toks y ON x.tok = y.tok AND x.doc_id < y.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b, ROUND(i / (sa.sz + sb.sz - i), 6) AS jaccard
             FROM inter
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b

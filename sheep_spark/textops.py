@@ -115,16 +115,37 @@ def _doc_tokens(documents: DataFrame) -> DataFrame:
     ).distinct()
 
 
-def jaccard_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
+def _doc_char_shingles(documents: DataFrame, n: int) -> DataFrame:
+    """(doc_id, tok) distinct character n-grams of the normalized text —
+    the shingling mode robust to word-boundary edits (the classic
+    near-dup configuration; word unigrams miss reorderings). All
+    JVM-side: sequence + transform + substr, no UDF. Documents shorter
+    than n characters produce no shingles (and thus join nothing)."""
+    t = normalized_text(F.col("text"))
+    idx = F.when(
+        F.length(t) >= n, F.sequence(F.lit(1), F.length(t) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    shingles = F.transform(idx, lambda i: F.substring(t, i, F.lit(n)))
+    return documents.select("doc_id", F.explode(shingles).alias("tok")).distinct()
+
+
+def jaccard_pairs(documents: DataFrame, threshold: float = 0.5,
+                  ngram_chars: int | None = None) -> DataFrame:
     """Exact token-set Jaccard near-duplicate pairs (doc_a < doc_b,
-    jaccard ≥ threshold). The candidate join goes through shared tokens
-    with map-side distinct; at web scale prefilter with minhash_lsh_pairs
-    and use this as the verify step on candidates only.
+    jaccard ≥ threshold). ``ngram_chars=n`` switches the shingle set
+    from word unigrams to character n-grams (edit-robust mode). The
+    candidate join goes through shared tokens with map-side distinct;
+    at web scale prefilter with minhash_lsh_pairs and use this as the
+    verify step on candidates only.
 
     Eager: the (small) result is materialized via localCheckpoint and
     the token cache released in ``finally`` — the r2 version persisted
     ``toks`` for the life of the session (VERDICT r2 task 6)."""
-    toks = _doc_tokens(documents).persist()
+    toks = (
+        _doc_char_shingles(documents, ngram_chars)
+        if ngram_chars is not None
+        else _doc_tokens(documents)
+    ).persist()
     try:
         sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
         inter = (

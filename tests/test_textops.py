@@ -74,6 +74,35 @@ def test_bpe_ish_count_on_tricky_text(spark, duck):
     assert got == want
 
 
+def test_jaccard_ngram_matches_duckdb(docs, duck):
+    """Char-5-gram Jaccard mode == DuckDB lateral-unnest formulation."""
+    got = rows(textops.jaccard_pairs(docs, 0.5, ngram_chars=5))
+    want = sorted(
+        duck.execute(
+            r"""WITH norm AS (
+                  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+                  FROM documents
+                ),
+                toks AS (
+                  SELECT DISTINCT doc_id, substr(t, CAST(i.i AS INT), 5) AS tok
+                  FROM norm, LATERAL (SELECT unnest(range(1, greatest(length(t) - 3, 1))) AS i) i
+                ),
+                sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+                inter AS (
+                  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, CAST(COUNT(*) AS DOUBLE) AS i
+                  FROM toks x JOIN toks y ON x.tok = y.tok AND x.doc_id < y.doc_id
+                  GROUP BY 1, 2
+                )
+                SELECT doc_a, doc_b, ROUND(i / (sa.sz + sb.sz - i), 6)
+                FROM inter
+                JOIN sizes sa ON sa.doc_id = doc_a
+                JOIN sizes sb ON sb.doc_id = doc_b
+                WHERE ROUND(i / (sa.sz + sb.sz - i), 6) >= 0.5"""
+        ).fetchall()
+    )
+    assert got == want
+
+
 def test_minhash_estimates_jaccard(docs):
     """MinHash estimate correlates with exact Jaccard on true near-dups."""
     exact = {(r.doc_a, r.doc_b): r.jaccard for r in textops.jaccard_pairs(docs, 0.5).collect()}
