@@ -184,6 +184,12 @@ def q_jaccard(spark, sf_dir):
     return textops.jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
 
 
+def q_rolling_fingerprint(spark, sf_dir):
+    from sheep_spark import textops
+
+    return textops.rolling_fingerprint(_docs(spark, sf_dir))
+
+
 def q_jaccard_ngram(spark, sf_dir):
     from sheep_spark import textops
 
@@ -351,6 +357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_langid,
         "exact_dedup": q_exact_dedup,
         "fingerprint": q_fingerprint,
+        "rolling_fingerprint": q_rolling_fingerprint,
         "jaccard_pairs": q_jaccard,
         "jaccard_ngram_pairs": q_jaccard_ngram,
         "minhash_lsh_pairs": q_minhash_lsh,
@@ -637,6 +644,19 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": r"""
             SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
             FROM documents""",
+        "rolling_fingerprint": r"""
+            WITH norm AS (
+              SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(list_reduce(
+                     list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(1, length(t)+1),
+                         i -> CAST(unicode(substr(t, CAST(i AS INT), 1)) AS BIGINT))),
+                     (acc, c) -> (acc * 131 + c) % 2147483647
+                   ) AS BIGINT) AS rolling_hash
+            FROM norm""",
         "jaccard_pairs": f"""WITH {_TOKS_CTE},
             sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
             inter AS (

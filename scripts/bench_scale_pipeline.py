@@ -111,9 +111,15 @@ def main() -> None:
     vmeta.count()
     stages["assign_join"] = time.time() - t0
 
+    # the headline quality gate's subset first (what a production run
+    # would compute per round), then the full suite
+    t0 = time.time()
+    m_fast = evaluate.evaluate(edges, vmeta, metrics=("edges_cut", "ecv_down", "down_balance"))
+    stages["evaluate_fast"] = time.time() - t0
     t0 = time.time()
     m = evaluate.evaluate(edges, vmeta)
     stages["evaluate"] = time.time() - t0
+    assert all(m_fast[k] == m[k] for k in m_fast)
 
     total = time.time() - t_all
     core = (

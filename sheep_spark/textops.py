@@ -50,6 +50,31 @@ def fingerprint(documents: DataFrame) -> DataFrame:
     )
 
 
+ROLLING_BASE = 131
+ROLLING_MOD = 2_147_483_647  # 2^31-1: acc*131 + cp < 2^39 — exact in int64
+
+
+def rolling_fingerprint(documents: DataFrame) -> DataFrame:
+    """Polynomial rolling hash (Rabin-Karp) of the normalized text:
+    h = fold(h*131 + codepoint) mod 2^31-1 — the classic incremental
+    document fingerprint (vs the md5 whole-text digest in
+    ``fingerprint``). Pure JVM fold via ``aggregate`` over character
+    positions; DuckDB reproduces it exactly with list_reduce, so the
+    value is oracle-checked bit-for-bit."""
+    t = normalized_text(F.col("text"))
+    # guard: sequence(1, 0) would DESCEND ([1, 0]) on empty text
+    idx = F.when(F.length(t) > 0, F.sequence(F.lit(1), F.length(t))).otherwise(
+        F.array().cast("array<int>")
+    )
+    h = F.aggregate(
+        idx,
+        F.lit(0).cast("long"),
+        lambda acc, i: (acc * ROLLING_BASE + F.ascii(F.substring(t, i, F.lit(1))))
+        % ROLLING_MOD,
+    )
+    return documents.select("doc_id", h.cast("long").alias("rolling_hash"))
+
+
 def exact_dedup(documents: DataFrame) -> DataFrame:
     """Exact dedup groups: one row per distinct normalized text with the
     keeper (min doc_id) and the duplicate count."""

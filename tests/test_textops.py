@@ -74,6 +74,21 @@ def test_bpe_ish_count_on_tricky_text(spark, duck):
     assert got == want
 
 
+def test_rolling_fingerprint_matches_python(docs):
+    """Rabin-Karp fold == direct python recomputation (incl. the
+    empty-text guard and mod arithmetic)."""
+    got = {r.doc_id: r.rolling_hash for r in textops.rolling_fingerprint(docs).collect()}
+    import re
+
+    pdf = docs.select("doc_id", "text").toPandas()
+    for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+        t = re.sub(r"\s+", " ", text.strip().lower())
+        h = 0
+        for ch in t:
+            h = (h * textops.ROLLING_BASE + ord(ch)) % textops.ROLLING_MOD
+        assert got[doc_id] == h, doc_id
+
+
 def test_jaccard_ngram_matches_duckdb(docs, duck):
     """Char-5-gram Jaccard mode == DuckDB lateral-unnest formulation."""
     got = rows(textops.jaccard_pairs(docs, 0.5, ngram_chars=5))
