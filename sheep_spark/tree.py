@@ -357,9 +357,21 @@ def build_parent_edges_driver(edges_pos_df: DataFrame, n_vertices: int,
     import pandas as pd
 
     spark = edges_pos_df.sparkSession
+    lo, hi = _collect_pos_pairs(edges_pos_df, timings)
+    t0 = time.monotonic()
+    kid, par = _eliminate(lo, hi, n_vertices)
+    if timings is not None:
+        timings["kernel_s"] = round(time.monotonic() - t0, 2)
+    return spark.createDataFrame(pd.DataFrame({"lo": kid, "hi": par}))
+
+
+def _collect_pos_pairs(edges_pos_df: DataFrame, timings: dict | None = None):
+    """(lo, hi) int64 arrays via toArrow (Spark 4; no pandas copy)."""
+    import time
+
     t0 = time.monotonic()
     sel = edges_pos_df.select("lo", "hi")
-    if hasattr(sel, "toArrow"):  # Spark 4: arrow table, no pandas copy
+    if hasattr(sel, "toArrow"):
         tbl = sel.toArrow()
         lo = tbl.column("lo").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
         hi = tbl.column("hi").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
@@ -369,11 +381,35 @@ def build_parent_edges_driver(edges_pos_df: DataFrame, n_vertices: int,
         hi = pdf["hi"].to_numpy(np.int64)
     if timings is not None:
         timings["collect_s"] = round(time.monotonic() - t0, 2)
+    return lo, hi
+
+
+def _build_tree_df_driver(
+    edges_pos_df: DataFrame, n_vertices: int, with_pre_weight: bool,
+    timings: dict | None = None,
+) -> DataFrame:
+    """Driver-strategy tree: one collect, one kernel, bincount weights,
+    one arrow upload. Output schema identical to the join form."""
+    import time
+
+    import pandas as pd
+
+    spark = edges_pos_df.sparkSession
+    lo, hi = _collect_pos_pairs(edges_pos_df, timings)
     t0 = time.monotonic()
     kid, par = _eliminate(lo, hi, n_vertices)
     if timings is not None:
         timings["kernel_s"] = round(time.monotonic() - t0, 2)
-    return spark.createDataFrame(pd.DataFrame({"lo": kid, "hi": par}))
+    parent_full = np.full(n_vertices, -1, dtype=np.int64)
+    parent_full[kid] = par
+    data = {
+        "jnid": np.arange(n_vertices, dtype=np.int64),
+        "parent": pd.Series(parent_full).astype("Int64").mask(parent_full < 0),
+        "pst_weight": np.bincount(lo, minlength=n_vertices).astype(np.int64),
+    }
+    if with_pre_weight:
+        data["pre_weight"] = np.bincount(hi, minlength=n_vertices).astype(np.int64)
+    return spark.createDataFrame(pd.DataFrame(data))
 
 
 def build_tree(
@@ -395,7 +431,6 @@ def build_tree(
     what ``groupBy(hi).count()`` computes directly.
     """
     spark = edges_pos_df.sparkSession
-    edges_pos_df = edges_pos_df.persist()
     # strategy: 'driver' = single-sweep rank-0 analogue (fastest under
     # DRIVER_TREE_MAX_EDGES), 'mapreduce' = distributed partials+merge,
     # 'auto' = driver iff the edge-count hint fits the cap.
@@ -406,11 +441,18 @@ def build_tree(
             else "mapreduce"
         )
     if strategy == "driver":
-        parents = build_parent_edges_driver(edges_pos_df, n_vertices, timings=timings)
-    else:
-        parents = build_parent_edges(
-            edges_pos_df, n_vertices, n_partials, n_edges=n_edges
+        # Fully driver-computed: the edges are already collected for the
+        # sweep, so pst/pre weights are np.bincount (milliseconds) and
+        # the whole tree ships back as ONE arrow upload — no 2E-row
+        # groupBy or V-sized joins JVM-side, and no need to persist the
+        # input (it is scanned exactly once).
+        return _build_tree_df_driver(
+            edges_pos_df, n_vertices, with_pre_weight, timings=timings
         )
+    edges_pos_df = edges_pos_df.persist()
+    parents = build_parent_edges(
+        edges_pos_df, n_vertices, n_partials, n_edges=n_edges
+    )
     parents = parents.withColumnRenamed("lo", "jnid").withColumnRenamed("hi", "parent")
     pst = edges_pos_df.groupBy(F.col("lo").alias("jnid")).agg(F.count("*").alias("pst_weight"))
     base = spark.range(n_vertices).select(F.col("id").alias("jnid"))
