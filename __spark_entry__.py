@@ -111,6 +111,16 @@ def q_down_assign(spark, sf_dir):
     return partitioner.down_assign(edges, vmeta)
 
 
+def q_down_reassign(spark, sf_dir):
+    """Bounded-shuffle reassignment: delta moves when the partition
+    vector changes from naive-k8 to naive-k7 over the same sequence."""
+    from sheep_spark import partitioner
+
+    edges, verts, vmeta_old = _naive_meta(spark, sf_dir)
+    vmeta_new = partitioner.vertex_meta(verts, partitioner.naive_partition(verts, 7))
+    return partitioner.down_reassign(edges, vmeta_old, vmeta_new)
+
+
 def q_partition_metrics(spark, sf_dir):
     from sheep_spark import evaluate
 
@@ -347,6 +357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_rank": q_degree_rank,
         "naive_assign": q_naive_assign,
         "down_assign": q_down_assign,
+        "down_reassign": q_down_reassign,
         "partition_metrics": q_partition_metrics,
         "pagerank5": q_pagerank5,
         "pagerank_csr5": q_pagerank_csr5,
@@ -573,6 +584,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT src, dst,
                    CASE WHEN pos_a < pos_b THEN part_a ELSE part_b END AS part
             FROM ej WHERE src < dst""",
+        "down_reassign": f"""WITH {_GRAPH_CTE},
+            a_new AS (
+              SELECT vid, CAST((pos * 7) // (SELECT n FROM nv) AS INT) AS part_new FROM seq
+            ),
+            own AS (
+              SELECT e.src, e.dst,
+                     CASE WHEN sa.pos < sb.pos THEN e.src ELSE e.dst END AS owner_vid
+              FROM edges e JOIN assign sa ON e.src = sa.vid JOIN assign sb ON e.dst = sb.vid
+              WHERE e.src < e.dst
+            ),
+            ch AS (
+              SELECT a.vid AS owner_vid, a.part AS part_old, b.part_new
+              FROM assign a JOIN a_new b ON a.vid = b.vid
+              WHERE a.part <> b.part_new
+            )
+            SELECT o.src, o.dst, ch.part_old, ch.part_new
+            FROM own o JOIN ch USING (owner_vid)""",
         "partition_metrics": f"""WITH {_GRAPH_CTE},
             downs AS (SELECT src, CASE WHEN pos_a < pos_b THEN part_a ELSE part_b END AS p FROM ej),
             ups   AS (SELECT src, CASE WHEN pos_a > pos_b THEN part_a ELSE part_b END AS p FROM ej),

@@ -395,6 +395,56 @@ def down_assign(edges_sym: DataFrame, vmeta: DataFrame, broadcast_meta: bool = T
     )
 
 
+def down_reassign(
+    edges_sym: DataFrame,
+    vmeta_old: DataFrame,
+    vmeta_new: DataFrame,
+    n_vertices: int | None = None,
+) -> DataFrame:
+    """Bounded-shuffle reassignment (north_star's "explicit
+    bounded-shuffle reassignment step"): given a NEW partition vector
+    over the SAME sequence (a re-pack, a new k, an incremental update),
+    emit exactly the edges that must move — ``(src, dst, part_old,
+    part_new)`` — without recomputing or reshuffling the full edge
+    assignment.
+
+    Why it is bounded: an edge's owner is its lower-pos endpoint
+    (partition.cpp:623) and pos is unchanged, so an edge moves iff its
+    OWNER VERTEX changed part. The plan therefore joins the edge table
+    once against the (usually tiny, broadcastable) changed-vertex set:
+    shuffle volume ∝ moved edges + V, never E. At 100 TB this is the
+    difference between rewriting every partition directory and
+    rewriting only the touched ones (compose with write_partitioned's
+    partitionBy sink + dynamic partition overwrite).
+    """
+    from .graph import maybe_broadcast
+
+    v = maybe_broadcast(vmeta_new.select("vid", "pos"), n_rows=n_vertices)
+    a = v.select(F.col("vid").alias("src"), F.col("pos").alias("pos_a"))
+    b = v.select(F.col("vid").alias("dst"), F.col("pos").alias("pos_b"))
+    once = edges_sym.where(F.col("src") < F.col("dst"))
+    owned = (
+        once.join(a, "src").join(b, "dst")
+        .select(
+            "src",
+            "dst",
+            F.when(F.col("pos_a") < F.col("pos_b"), F.col("src"))
+            .otherwise(F.col("dst"))
+            .alias("owner_vid"),
+        )
+    )
+    changed = (
+        vmeta_old.select("vid", F.col("part").alias("part_old"))
+        .join(vmeta_new.select("vid", F.col("part").alias("part_new")), "vid")
+        .where(F.col("part_old") != F.col("part_new"))
+        .withColumnRenamed("vid", "owner_vid")
+    )
+    return (
+        owned.join(maybe_broadcast(changed), "owner_vid")
+        .select("src", "dst", "part_old", "part_new")
+    )
+
+
 def write_partitioned(edge_parts: DataFrame, path: str) -> None:
     """Partitioned-edge sink: one directory per part
     (writePartitionedGraph, partition.cpp:588-630 → write.partitionBy)."""

@@ -45,3 +45,17 @@ def test_tpch_graph_deterministic(spark):
     assert all(
         (a.degree, a.vid) < (b.degree, b.vid) for a, b in zip(rows, rows[1:])
     )
+
+
+def test_degree_sequence_driver_and_distributed_agree(spark):
+    """The driver lexsort rank (small-V funnel) and the distributed
+    two-phase rank must produce identical (vid, degree, pos) rows."""
+    from tests.conftest import edges_df, random_graph
+
+    from sheep_spark import graph
+
+    edges = random_graph(150, 400, seed=31)
+    sym = edges_df(spark, edges)
+    a = graph.vertices_from_edges(sym)  # n << cap → driver path
+    b = graph.vertices_from_edges(sym, driver_rank_max=0)  # force distributed
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

@@ -177,3 +177,27 @@ def test_write_isomorphic_matches_python_port(spark, tmp_path):
 
     snap = sorted((r.src, r.dst) for r in sio.read_snap(spark, str(tmp_path / "iso_snap")).collect())
     assert snap == want
+
+
+def test_down_reassign_equals_bruteforce_diff(spark):
+    """Bounded-shuffle reassignment must emit exactly the edges whose
+    down-assignment differs between the old and new partition vectors."""
+    from tests.conftest import edges_df, random_graph
+
+    from sheep_spark import graph, partitioner
+
+    edges = random_graph(120, 300, seed=17)
+    sym = edges_df(spark, edges)
+    verts = graph.vertices_from_edges(sym)
+    vm_old = partitioner.vertex_meta(verts, partitioner.naive_partition(verts, 4))
+    vm_new = partitioner.vertex_meta(verts, partitioner.naive_partition(verts, 3))
+    moves = set(map(tuple, partitioner.down_reassign(sym, vm_old, vm_new).collect()))
+    full_old = {(r.src, r.dst): r.part for r in partitioner.down_assign(sym, vm_old).collect()}
+    full_new = {(r.src, r.dst): r.part for r in partitioner.down_assign(sym, vm_new).collect()}
+    expected = {
+        (s, d, full_old[(s, d)], full_new[(s, d)])
+        for (s, d) in full_old
+        if full_old[(s, d)] != full_new[(s, d)]
+    }
+    assert moves == expected
+    assert len(moves) > 0  # the k-change really moved something
