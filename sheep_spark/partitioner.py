@@ -451,6 +451,84 @@ def write_partitioned(edge_parts: DataFrame, path: str) -> None:
     edge_parts.write.mode("overwrite").partitionBy("part").parquet(path)
 
 
+def apply_down_reassign(spark: SparkSession, path: str, moves: DataFrame) -> dict:
+    """Apply a ``down_reassign`` delta to an existing ``write_partitioned``
+    sink, rewriting ONLY the touched part directories (dynamic partition
+    overwrite). This is the end-to-end form of the north_star's
+    bounded-shuffle reassignment: at 100 TB a re-pack touches the few
+    directories whose ownership changed instead of rewriting the table.
+
+    Semantics: for every (src, dst, part_old, part_new) move, the edge
+    leaves ``part=part_old`` and lands in ``part=part_new``; untouched
+    directories are byte-identical afterwards. Returns
+    {"parts_rewritten": n, "moves": m}.
+    """
+    moves = moves.persist()
+    try:
+        touched = sorted(
+            {r.p for r in moves.select(F.col("part_old").alias("p")).distinct().collect()}
+            | {r.p for r in moves.select(F.col("part_new").alias("p")).distinct().collect()}
+        )
+        if not touched:
+            return {"parts_rewritten": 0, "moves": 0}
+        n_moves = moves.count()
+        # moves may target parts that do not exist in the sink yet (e.g.
+        # growing k): read only the directories that are actually there
+        # (Hadoop FS API — works for any scheme, not just file://)
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        existing = []
+        for p in touched:
+            hp = jvm.org.apache.hadoop.fs.Path(f"{path}/part={p}")
+            if hp.getFileSystem(hconf).exists(hp):
+                existing.append(p)
+        if existing:
+            current = spark.read.option("basePath", path).parquet(
+                *[f"{path}/part={p}" for p in existing]
+            )
+        else:
+            current = spark.createDataFrame([], "src long, dst long, part int")
+        out_minus = current.join(
+            moves.select("src", "dst", F.col("part_old").alias("part")),
+            ["src", "dst", "part"],
+            "left_anti",
+        )
+        incoming = moves.select("src", "dst", F.col("part_new").alias("part"))
+        # materialize BEFORE the overwrite: the plan reads the very
+        # directories the write replaces (localCheckpoint truncates the
+        # lineage so no task can fall back to the overwritten files)
+        updated = out_minus.unionByName(incoming).localCheckpoint(eager=True)
+        present = {r.part for r in updated.select("part").distinct().collect()}
+        with _partition_overwrite_dynamic(spark):
+            updated.write.mode("overwrite").partitionBy("part").parquet(path)
+        # dynamic overwrite cannot express "this partition is now empty";
+        # drop fully-drained directories explicitly (an Iceberg/Delta
+        # deployment would issue a RewriteFiles/delete instead)
+        import shutil
+
+        for p in touched:
+            if p not in present:
+                shutil.rmtree(f"{path}/part={p}", ignore_errors=True)
+        return {"parts_rewritten": len(touched), "moves": int(n_moves)}
+    finally:
+        moves.unpersist()
+
+
+class _partition_overwrite_dynamic:
+    """Scoped spark.sql.sources.partitionOverwriteMode=dynamic (only the
+    partitions present in the written frame are replaced)."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", self.prev)
+
+
 def isomorphic_ids(vmeta: DataFrame) -> DataFrame:
     """Relabel vids contiguously by (part, pos) stable order —
     writeIsomorphicGraph (partition.cpp:528-586)."""

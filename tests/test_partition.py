@@ -201,3 +201,61 @@ def test_down_reassign_equals_bruteforce_diff(spark):
     }
     assert moves == expected
     assert len(moves) > 0  # the k-change really moved something
+
+
+def test_apply_down_reassign_rewrites_only_touched_dirs(spark, tmp_path):
+    """End-to-end bounded reassignment: applying the delta to a
+    partitionBy sink must (a) produce exactly the new full assignment,
+    (b) drop fully-drained part directories, (c) leave untouched part
+    directories byte-identical."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tests.conftest import edges_df, random_graph
+
+    from sheep_spark import graph, partitioner
+
+    edges = random_graph(100, 250, seed=19)
+    sym = edges_df(spark, edges)
+    verts = graph.vertices_from_edges(sym)
+    vm_old = partitioner.vertex_meta(verts, partitioner.naive_partition(verts, 5))
+    path = str(tmp_path / "parts")
+    partitioner.write_partitioned(partitioner.down_assign(sym, vm_old), path)
+
+    # scenario A: small perturbation — move the 8 lowest-pos vertices to
+    # part 1; only their old parts and part 1 are touched
+    assign_b = vm_old.select(
+        "vid", F.when(F.col("pos") < 8, F.lit(1)).otherwise(F.col("part")).cast("int").alias("part")
+    )
+    vm_b = partitioner.vertex_meta(verts, assign_b)
+
+    def dir_sig(p):
+        d = f"{path}/part={p}"
+        if not os.path.isdir(d):
+            return None
+        return sorted((f, os.path.getsize(f"{d}/{f}")) for f in os.listdir(d) if not f.startswith("."))
+
+    untouched_before = {p: dir_sig(p) for p in range(5)}
+    moves = partitioner.down_reassign(sym, vm_old, vm_b)
+    touched = {r.part_old for r in moves.select("part_old").distinct().collect()} | {
+        r.part_new for r in moves.select("part_new").distinct().collect()
+    }
+    stats = partitioner.apply_down_reassign(spark, path, moves)
+    assert stats["parts_rewritten"] == len(touched) < 5
+    got = {(r.src, r.dst, r.part) for r in spark.read.parquet(path).collect()}
+    want = {(r.src, r.dst, r.part) for r in partitioner.down_assign(sym, vm_b).collect()}
+    assert got == want
+    for p in range(5):
+        if p not in touched:
+            assert dir_sig(p) == untouched_before[p], p
+
+    # scenario B: shrink k 5 -> 3 — parts 3 and 4 drain entirely and
+    # their directories must disappear
+    vm_new = partitioner.vertex_meta(verts, partitioner.naive_partition(verts, 3))
+    moves2 = partitioner.down_reassign(sym, vm_b, vm_new)
+    partitioner.apply_down_reassign(spark, path, moves2)
+    got2 = {(r.src, r.dst, r.part) for r in spark.read.parquet(path).collect()}
+    want2 = {(r.src, r.dst, r.part) for r in partitioner.down_assign(sym, vm_new).collect()}
+    assert got2 == want2
+    assert dir_sig(3) is None and dir_sig(4) is None
