@@ -282,6 +282,13 @@ def run_scaling() -> dict:
 
     for _ in range(repeats):
         one_round()
+    # Asymmetry disclosure: extra rounds only trigger on LOW readings, so
+    # conditional-on-stopping the estimator can only sit at-or-above what
+    # unconditional extra rounds would report (each extra round re-runs
+    # BOTH legs and min() per leg moves every reading toward the truth —
+    # rounds never inflate a number, they just aren't spent when the
+    # reading already clears the bar). rounds_run is recorded so the
+    # artifact shows whether extras fired.
     while eff() < 0.8 and rounds_run < repeats + max_extra:
         one_round()  # keep sampling while the reading says "throttled leg"
     speedup = out["low"]["superstep_median_s"] / out["high"]["superstep_median_s"]

@@ -134,19 +134,16 @@ def vertices_from_edges(edges_sym: DataFrame,
     try:
         n = deg.count()
         if n > driver_rank_max:
+            # attach_rank materializes its output eagerly (localCheckpoint)
+            # before returning, so the deg cache is consumed HERE, inside
+            # the try — the finally unpersist never forces a recompute
             return attach_rank(deg, ["degree", "vid"], out="pos")
         import numpy as np
         import pandas as pd
 
-        sel = deg.select("vid", "degree")
-        if hasattr(sel, "toArrow"):
-            tbl = sel.toArrow()
-            vid = tbl.column("vid").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
-            degree = tbl.column("degree").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
-        else:
-            pdf = sel.toPandas()
-            vid = pdf["vid"].to_numpy(np.int64)
-            degree = pdf["degree"].to_numpy(np.int64)
+        from .tree import collect_int64_columns
+
+        vid, degree = collect_int64_columns(deg, ("vid", "degree"))
         order = np.lexsort((vid, degree))  # primary: degree, tie: vid
         pos = np.empty(n, dtype=np.int64)
         pos[order] = np.arange(n, dtype=np.int64)

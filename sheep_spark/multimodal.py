@@ -105,7 +105,13 @@ def decode_pnm(data: bytes) -> np.ndarray:
         if start == pos:
             raise ValueError("truncated PNM header")
         vals.append(int(data[start:pos]))
-    pos += 1  # single whitespace after maxval, then raster
+    # single whitespace after maxval, then raster — except Windows-written
+    # files, whose header ends in \r\n: treat that pair as the separator
+    # (otherwise the \n becomes pixel (0,0) and every pixel shifts by one)
+    if data[pos : pos + 2] == b"\r\n":
+        pos += 2
+    else:
+        pos += 1
     width, height, maxval = vals
     if maxval > 255 or maxval <= 0 or width <= 0 or height <= 0:
         raise ValueError(f"unsupported PNM geometry {width}x{height} maxval={maxval}")
@@ -162,11 +168,7 @@ def image_feature_vector(px: np.ndarray) -> np.ndarray:
 def _decode_any(payload: bytes, strict: bool) -> tuple[int, int, np.ndarray]:
     try:
         px = decode_image(payload)
-    except NotImplementedError:
-        if strict:
-            raise
-        return _fake_decode(payload)
-    except ValueError:
+    except (NotImplementedError, ValueError):
         if strict:
             raise
         return _fake_decode(payload)

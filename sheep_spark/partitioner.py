@@ -502,13 +502,13 @@ def apply_down_reassign(spark: SparkSession, path: str, moves: DataFrame) -> dic
         with _partition_overwrite_dynamic(spark):
             updated.write.mode("overwrite").partitionBy("part").parquet(path)
         # dynamic overwrite cannot express "this partition is now empty";
-        # drop fully-drained directories explicitly (an Iceberg/Delta
+        # drop fully-drained directories explicitly via the Hadoop FS API
+        # (works for hdfs://, s3a://, file://... — an Iceberg/Delta
         # deployment would issue a RewriteFiles/delete instead)
-        import shutil
-
         for p in touched:
             if p not in present:
-                shutil.rmtree(f"{path}/part={p}", ignore_errors=True)
+                hp = jvm.org.apache.hadoop.fs.Path(f"{path}/part={p}")
+                hp.getFileSystem(hconf).delete(hp, True)
         return {"parts_rewritten": len(touched), "moves": int(n_moves)}
     finally:
         moves.unpersist()

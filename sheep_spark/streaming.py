@@ -33,16 +33,28 @@ EVENTS_SCHEMA = "event_id long, user_id long, event_type string, ts timestamp_nt
 def _require_whole_hour_tz(spark: SparkSession) -> None:
     """The hourly-window ≡ batch-date_trunc equivalence only holds when
     the session timezone's UTC offset is a whole hour (see
-    events_rollup_frame). Fail loudly otherwise."""
+    events_rollup_frame). Fail loudly otherwise. Probes offsets across
+    the year (both DST phases — e.g. Australia/Lord_Howe is +11:00 in
+    January but +10:30 in July) and falls back to parsing literal
+    GMT±HH[:MM]-style ids ZoneInfo can't load."""
+    import re
     from datetime import datetime
     from zoneinfo import ZoneInfo
 
     tz = spark.conf.get("spark.sql.session.timeZone")
     try:
-        off = datetime(2026, 1, 15, tzinfo=ZoneInfo(tz)).utcoffset()
-        whole = off is not None and off.total_seconds() % 3600 == 0
+        zi = ZoneInfo(tz)
+        whole = all(
+            (off := datetime(y, m, 15, tzinfo=zi).utcoffset()) is not None
+            and off.total_seconds() % 3600 == 0
+            for y in (2025, 2026)
+            for m in (1, 4, 7, 10)
+        )
     except Exception:
-        whole = tz.upper() in ("UTC", "GMT", "Z")
+        m = re.fullmatch(r"(?:UTC|GMT)?([+-]\d{1,2})(?::?(\d{2}))?", tz.strip())
+        whole = tz.upper() in ("UTC", "GMT", "Z") or (
+            m is not None and (m.group(2) or "00") == "00"
+        )
     if not whole:
         raise ValueError(
             f"stream_events_rollup requires a whole-hour-offset session "

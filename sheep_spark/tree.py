@@ -365,23 +365,32 @@ def build_parent_edges_driver(edges_pos_df: DataFrame, n_vertices: int,
     return spark.createDataFrame(pd.DataFrame({"lo": kid, "hi": par}))
 
 
-def _collect_pos_pairs(edges_pos_df: DataFrame, timings: dict | None = None):
-    """(lo, hi) int64 arrays via toArrow (Spark 4; no pandas copy)."""
+def collect_int64_columns(df: DataFrame, cols: tuple[str, ...],
+                          timings: dict | None = None) -> tuple[np.ndarray, ...]:
+    """Collect the named columns as int64 numpy arrays via toArrow
+    (Spark 4; no pandas copy), toPandas fallback. Shared by the driver
+    funnels (tree build, degree-sequence rank)."""
     import time
 
     t0 = time.monotonic()
-    sel = edges_pos_df.select("lo", "hi")
+    sel = df.select(*cols)
     if hasattr(sel, "toArrow"):
         tbl = sel.toArrow()
-        lo = tbl.column("lo").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
-        hi = tbl.column("hi").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        out = tuple(
+            tbl.column(c).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+            for c in cols
+        )
     else:
         pdf = sel.toPandas()
-        lo = pdf["lo"].to_numpy(np.int64)
-        hi = pdf["hi"].to_numpy(np.int64)
+        out = tuple(pdf[c].to_numpy(np.int64) for c in cols)
     if timings is not None:
         timings["collect_s"] = round(time.monotonic() - t0, 2)
-    return lo, hi
+    return out
+
+
+def _collect_pos_pairs(edges_pos_df: DataFrame, timings: dict | None = None):
+    """(lo, hi) int64 arrays for the driver-strategy kernels."""
+    return collect_int64_columns(edges_pos_df, ("lo", "hi"), timings)
 
 
 def _build_tree_df_driver(

@@ -1,9 +1,11 @@
+import os
+
 import numpy as np
 import pytest
 
 from sheep_spark import multimodal
 
-FIXTURES = "/root/repo/tests/fixtures"
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
 
 # goldens computed from the committed fixture bytes (decode verified
 # against the independent test-side encoders below)
@@ -86,6 +88,17 @@ def test_decoder_golden_fixtures():
         assert px.shape == (h, w, 3), name
         got = multimodal.image_feature_vector(px)
         assert np.allclose(got, np.float32(feat), atol=1e-6), name
+
+
+def test_pnm_windows_crlf_header():
+    """A \\r\\n after maxval is the separator, not raster data (the \\n
+    used to become pixel (0,0), shifting every pixel by one)."""
+    px = np.array([[77, 88], [99, 111]], dtype=np.uint8)
+    unix = b"P5\n2 2\n255\n" + px.tobytes()
+    win = b"P5\r\n2 2\r\n255\r\n" + px.tobytes()
+    want = np.repeat(px[:, :, None], 3, 2)
+    assert (multimodal.decode_image(unix) == want).all()
+    assert (multimodal.decode_image(win) == want).all()
 
 
 def test_decoder_rejects_garbage_and_names_real_codecs():
