@@ -281,9 +281,14 @@ def q_pagerank_csr5(spark, sf_dir):
 
     edges, verts = _graph(spark, sf_dir)
     vmeta = partitioner.vertex_meta(verts, partitioner.naive_partition(verts, K)).persist()
-    blocks = csr.build_csr_blocks(edges, vmeta)
-    ranks, _ = csr.pagerank_csr(blocks, vmeta, tol=0.0, max_iter=PR_ITERS)
-    return ranks.select("vid", F.round("rank", 10).alias("rank5"))
+    try:
+        blocks = csr.build_csr_blocks(edges, vmeta)
+        # pagerank_csr's final state is eagerly localCheckpoint'ed, so the
+        # vmeta cache can be released before returning (hygiene standard)
+        ranks, _ = csr.pagerank_csr(blocks, vmeta, tol=0.0, max_iter=PR_ITERS)
+        return ranks.select("vid", F.round("rank", 10).alias("rank5"))
+    finally:
+        vmeta.unpersist()
 
 
 def q_fennel_assign(spark, sf_dir):

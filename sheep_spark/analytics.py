@@ -259,33 +259,57 @@ def label_propagation(
     return labels, info
 
 
-def triangle_count(edges_sym: DataFrame, vertices: DataFrame) -> int:
-    """Global triangle count via degree-ordered orientation — the same
-    degree-ascending order as sheep's sequence (sequence.h:52-63) bounds
-    the wedge intermediate exactly like down-assignment bounds ECV."""
-    per = triangles_per_edge_base(edges_sym, vertices)
-    row = per.agg(F.coalesce(F.count("*"), F.lit(0)).alias("n")).collect()[0]
-    return int(row["n"])
-
-
-def triangles_per_edge_base(edges_sym: DataFrame, vertices: DataFrame,
-                            n_vertices: int | None = None) -> DataFrame:
-    """One row per triangle (a<b<c in pos space). Orientation: every edge
-    directed from lower to higher pos, so each triangle is counted exactly
-    once and hub fan-out is bounded by in-ascending-degree wedges."""
+def _oriented_edges(edges_sym: DataFrame, vertices: DataFrame,
+                    n_vertices: int | None = None) -> DataFrame:
+    """Each undirected edge once, oriented low-pos → high-pos (degree
+    ascending): (a, b) with pos a < b. NOT persisted — callers own the
+    cache lifecycle."""
     from .graph import maybe_broadcast
 
     v = maybe_broadcast(vertices.select("vid", "pos"), n_rows=n_vertices)
-    e = (
+    return (
         edges_sym.join(v.withColumnRenamed("vid", "src").withColumnRenamed("pos", "pa"), "src")
         .join(v.withColumnRenamed("vid", "dst").withColumnRenamed("pos", "pb"), "dst")
         .where(F.col("pa") < F.col("pb"))
         .select(F.col("pa").alias("a"), F.col("pb").alias("b"))
-        .persist()
     )
+
+
+def _tris(e: DataFrame) -> DataFrame:
     e1 = e.select(F.col("a"), F.col("b"))
     e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
     e3 = e.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
     wedges = e1.join(e2, "b")
     tris = wedges.join(e3, (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc")))
     return tris.select("a", "b", "c")
+
+
+def triangle_count(edges_sym: DataFrame, vertices: DataFrame) -> int:
+    """Global triangle count via degree-ordered orientation — the same
+    degree-ascending order as sheep's sequence (sequence.h:52-63) bounds
+    the wedge intermediate exactly like down-assignment bounds ECV.
+
+    The oriented edge cache (scanned 3× by the wedge joins) is released
+    in ``finally``; triangle rows stream into the count, never stored."""
+    e = _oriented_edges(edges_sym, vertices).persist()
+    try:
+        row = _tris(e).agg(F.coalesce(F.count("*"), F.lit(0)).alias("n")).collect()[0]
+        return int(row["n"])
+    finally:
+        e.unpersist()
+
+
+def triangles_per_edge_base(edges_sym: DataFrame, vertices: DataFrame,
+                            n_vertices: int | None = None) -> DataFrame:
+    """One row per triangle (a<b<c in pos space). Orientation: every edge
+    directed from lower to higher pos, so each triangle is counted exactly
+    once and hub fan-out is bounded by in-ascending-degree wedges.
+
+    Eager: the triangle rows are materialized (localCheckpoint — storage
+    owned by the returned frame's lineage) so the oriented-edge dependency
+    cache can be released before returning (VERDICT r3 leak fix)."""
+    e = _oriented_edges(edges_sym, vertices, n_vertices=n_vertices).persist()
+    try:
+        return _tris(e).localCheckpoint(eager=True)
+    finally:
+        e.unpersist()

@@ -103,7 +103,20 @@ def evaluate(edges_sym: DataFrame, vmeta: DataFrame, broadcast_meta: bool = True
 
     out: dict = {}
     ecv: dict = {}
-    if num_parts <= 62:
+    if num_parts <= 62 and not ecv_wanted:
+        # No per-vertex set metric requested (e.g. balances-only subset):
+        # the scalar counts need no groupBy at all — one flat agg over
+        # the edge-join, no E-sized shuffle (ADVICE r3).
+        row = j.agg(
+            F.count("*").alias("n_directed"),
+            F.sum(
+                ((F.col("src") < F.col("dst")) & (F.col("part_a") != F.col("part_b"))).cast("long")
+            ).alias("edges_cut"),
+        ).collect()[0]
+        out["n_edges"] = int(row["n_directed"] or 0) // 2
+        if "edges_cut" in requested:
+            out["edges_cut"] = int(row["edges_cut"] or 0)
+    elif num_parts <= 62:
         # Job 1 — ONE pass over the edge-join: per src, bit_or each
         # requested ownership rule's part into a long mask (integer
         # shiftleft — no floating point), popcount at the end; the

@@ -119,16 +119,34 @@ def mint_vertex_ids(edges_raw: DataFrame) -> DataFrame:
 
 def edges_from_pages(pages: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Full extraction pipeline: pages → symmetrized edge table + url↔vid
-    map. Self-links dropped; multi-links deduped (graph.symmetrize)."""
+    map. Self-links dropped; multi-links deduped (graph.symmetrize).
+
+    Cache lifecycle: the intermediate href table is released in
+    ``finally`` once the edge table is materialized (VERDICT r3 leak
+    fix). The returned ``ids`` frame stays persisted and is CALLER-OWNED
+    — unpersist it when done; the edge frame's storage is its own
+    localCheckpoint lineage."""
     from pyspark.sql import functions as F
 
     from .graph import symmetrize
 
     raw = href_edges(pages).persist()
-    ids = mint_vertex_ids(raw).persist()
-    e = (
-        raw.join(ids.withColumnRenamed("url", "src_url").withColumnRenamed("vid", "src"), "src_url")
-        .join(ids.withColumnRenamed("url", "dst_url").withColumnRenamed("vid", "dst"), "dst_url")
-        .select("src", "dst")
-    )
-    return symmetrize(e.select(F.col("src"), F.col("dst"))), ids
+    try:
+        # mint_vertex_ids → attach_rank materializes eagerly, so ids no
+        # longer depend on raw once this returns
+        ids = mint_vertex_ids(raw).persist()
+        e = (
+            raw.join(
+                ids.withColumnRenamed("url", "src_url").withColumnRenamed("vid", "src"),
+                "src_url",
+            )
+            .join(
+                ids.withColumnRenamed("url", "dst_url").withColumnRenamed("vid", "dst"),
+                "dst_url",
+            )
+            .select("src", "dst")
+        )
+        edges = symmetrize(e.select(F.col("src"), F.col("dst"))).localCheckpoint(eager=True)
+        return edges, ids
+    finally:
+        raw.unpersist()

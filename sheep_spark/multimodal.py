@@ -105,18 +105,22 @@ def decode_pnm(data: bytes) -> np.ndarray:
         if start == pos:
             raise ValueError("truncated PNM header")
         vals.append(int(data[start:pos]))
-    # single whitespace after maxval, then raster — except Windows-written
-    # files, whose header ends in \r\n: treat that pair as the separator
-    # (otherwise the \n becomes pixel (0,0) and every pixel shifts by one)
-    if data[pos : pos + 2] == b"\r\n":
-        pos += 2
-    else:
-        pos += 1
     width, height, maxval = vals
     if maxval > 255 or maxval <= 0 or width <= 0 or height <= 0:
         raise ValueError(f"unsupported PNM geometry {width}x{height} maxval={maxval}")
     ch = 3 if kind == b"P6" else 1
     need = width * height * ch
+    # single whitespace after maxval, then raster — except Windows-written
+    # files, whose header ends in \r\n: treat that pair as the separator
+    # (otherwise the \n becomes pixel (0,0) and every pixel shifts by one).
+    # Disambiguated by LENGTH (ADVICE r3): a spec-legal file whose single
+    # separator is a bare '\r' with a first raster byte of 0x0A must NOT
+    # lose that byte — consume 2 only when exactly the raster remains
+    # after them; a 1-byte separator then leaves a surplus byte instead.
+    if data[pos : pos + 2] == b"\r\n" and len(data) - pos - 2 == need:
+        pos += 2
+    else:
+        pos += 1
     if len(data) - pos < need:
         raise ValueError(f"truncated PNM raster: {len(data) - pos} bytes, need {need}")
     px = np.frombuffer(data, dtype=np.uint8, count=need, offset=pos).reshape(height, width, ch)

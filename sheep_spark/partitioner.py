@@ -451,6 +451,21 @@ def write_partitioned(edge_parts: DataFrame, path: str) -> None:
     edge_parts.write.mode("overwrite").partitionBy("part").parquet(path)
 
 
+def _hadoop_fs(spark: SparkSession, p: str):
+    """(FileSystem, Path, jvm) for any Hadoop scheme (file://, hdfs://,
+    s3a:// ...)."""
+    jvm = spark._jvm
+    hp = jvm.org.apache.hadoop.fs.Path(p)
+    return hp.getFileSystem(spark._jsc.hadoopConfiguration()), hp, jvm
+
+
+def _reassign_staging_paths(path: str) -> tuple[str, str]:
+    """Staging dir + manifest file live INSIDE the sink, underscore-
+    prefixed — Hadoop's hidden-file filter makes them invisible to any
+    parquet reader of ``path``."""
+    return f"{path}/_reassign_staging", f"{path}/_reassign_manifest.json"
+
+
 def apply_down_reassign(spark: SparkSession, path: str, moves: DataFrame) -> dict:
     """Apply a ``down_reassign`` delta to an existing ``write_partitioned``
     sink, rewriting ONLY the touched part directories (dynamic partition
@@ -462,8 +477,24 @@ def apply_down_reassign(spark: SparkSession, path: str, moves: DataFrame) -> dic
     leaves ``part=part_old`` and lands in ``part=part_new``; untouched
     directories are byte-identical afterwards. Returns
     {"parts_rewritten": n, "moves": m}.
+
+    Crash safety (ADVICE r3 — the r3 form had a data-loss window: it
+    localCheckpoint'ed the new content, executor-local and
+    unrecoverable, then overwrote the very directories its plan read).
+    The rewrite is now STAGED: the complete new content of every
+    touched part is first written durably to ``_reassign_staging``
+    (plus a manifest, written only after the staged parquet commits),
+    and the sink is then overwritten FROM the staged copy — no task
+    ever reads a directory the write is replacing, and executor loss
+    mid-write just re-runs tasks from staged parquet. A crash before
+    the manifest commits leaves the sink untouched; a crash after it
+    (mid-overwrite, mid-cleanup) is repaired by
+    ``recover_down_reassign`` — called automatically here —
+    re-applying the staged state idempotently.
     """
+    recover_down_reassign(spark, path)  # finish any interrupted apply first
     moves = moves.persist()
+    staging, manifest = _reassign_staging_paths(path)
     try:
         touched = sorted(
             {r.p for r in moves.select(F.col("part_old").alias("p")).distinct().collect()}
@@ -474,13 +505,10 @@ def apply_down_reassign(spark: SparkSession, path: str, moves: DataFrame) -> dic
         n_moves = moves.count()
         # moves may target parts that do not exist in the sink yet (e.g.
         # growing k): read only the directories that are actually there
-        # (Hadoop FS API — works for any scheme, not just file://)
-        jvm = spark._jvm
-        hconf = spark._jsc.hadoopConfiguration()
+        fs, _, jvm = _hadoop_fs(spark, path)
         existing = []
         for p in touched:
-            hp = jvm.org.apache.hadoop.fs.Path(f"{path}/part={p}")
-            if hp.getFileSystem(hconf).exists(hp):
+            if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/part={p}")):
                 existing.append(p)
         if existing:
             current = spark.read.option("basePath", path).parquet(
@@ -494,24 +522,76 @@ def apply_down_reassign(spark: SparkSession, path: str, moves: DataFrame) -> dic
             "left_anti",
         )
         incoming = moves.select("src", "dst", F.col("part_new").alias("part"))
-        # materialize BEFORE the overwrite: the plan reads the very
-        # directories the write replaces (localCheckpoint truncates the
-        # lineage so no task can fall back to the overwritten files)
-        updated = out_minus.unionByName(incoming).localCheckpoint(eager=True)
-        present = {r.part for r in updated.select("part").distinct().collect()}
-        with _partition_overwrite_dynamic(spark):
-            updated.write.mode("overwrite").partitionBy("part").parquet(path)
-        # dynamic overwrite cannot express "this partition is now empty";
-        # drop fully-drained directories explicitly via the Hadoop FS API
-        # (works for hdfs://, s3a://, file://... — an Iceberg/Delta
-        # deployment would issue a RewriteFiles/delete instead)
-        for p in touched:
-            if p not in present:
-                hp = jvm.org.apache.hadoop.fs.Path(f"{path}/part={p}")
-                hp.getFileSystem(hconf).delete(hp, True)
-        return {"parts_rewritten": len(touched), "moves": int(n_moves)}
+        updated = out_minus.unionByName(incoming)
+        # stage durably (reads sink, writes ONLY staging), then commit
+        # the manifest that gates recovery
+        updated.write.mode("overwrite").partitionBy("part").parquet(staging)
+        import json as _json
+
+        mfs, mp, _ = _hadoop_fs(spark, manifest)
+        out = mfs.create(mp, True)
+        out.write(_json.dumps({"touched": [int(p) for p in touched]}).encode())
+        out.close()
+        n_parts = _apply_staged_reassign(spark, path)
+        return {"parts_rewritten": n_parts, "moves": int(n_moves)}
     finally:
         moves.unpersist()
+
+
+def _apply_staged_reassign(spark: SparkSession, path: str) -> int:
+    """Copy the staged per-part state into the sink (dynamic partition
+    overwrite), drop drained directories, clean up. Idempotent: safe to
+    re-run after any interruption."""
+    import json as _json
+
+    staging, manifest = _reassign_staging_paths(path)
+    mfs, mp, jvm = _hadoop_fs(spark, manifest)
+    stream = mfs.open(mp)
+    raw = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    stream.close()
+    touched = _json.loads(raw)["touched"]
+    sfs, sp, _ = _hadoop_fs(spark, staging)
+    present = [
+        p for p in touched
+        if sfs.exists(jvm.org.apache.hadoop.fs.Path(f"{staging}/part={p}"))
+    ]
+    if present:
+        staged = spark.read.option("basePath", staging).parquet(
+            *[f"{staging}/part={p}" for p in present]
+        )
+        with _partition_overwrite_dynamic(spark):
+            staged.write.mode("overwrite").partitionBy("part").parquet(path)
+    # dynamic overwrite cannot express "this partition is now empty";
+    # drop fully-drained directories explicitly via the Hadoop FS API
+    # (an Iceberg/Delta deployment would issue a RewriteFiles/delete)
+    for p in touched:
+        if p not in present:
+            hp = jvm.org.apache.hadoop.fs.Path(f"{path}/part={p}")
+            hp.getFileSystem(spark._jsc.hadoopConfiguration()).delete(hp, True)
+    # manifest FIRST (it gates recovery — deleting staging first would
+    # make an interrupted cleanup look like "every touched part drained"),
+    # then the now-unreferenced staging dir
+    mfs.delete(mp, False)
+    sfs.delete(sp, True)
+    return len(touched)
+
+
+def recover_down_reassign(spark: SparkSession, path: str) -> dict | None:
+    """Idempotently finish an interrupted ``apply_down_reassign``.
+
+    The manifest is written only after the staged parquet commits, so:
+    no manifest → nothing was in flight (drop any uncommitted staging
+    debris); manifest present → the staged state is complete, re-apply
+    it. Returns {"parts_rewritten": n, "recovered": True} or None.
+    """
+    staging, manifest = _reassign_staging_paths(path)
+    mfs, mp, _ = _hadoop_fs(spark, manifest)
+    if not mfs.exists(mp):
+        sfs, sp, _ = _hadoop_fs(spark, staging)
+        if sfs.exists(sp):
+            sfs.delete(sp, True)
+        return None
+    return {"parts_rewritten": _apply_staged_reassign(spark, path), "recovered": True}
 
 
 class _partition_overwrite_dynamic:

@@ -259,3 +259,62 @@ def test_apply_down_reassign_rewrites_only_touched_dirs(spark, tmp_path):
     want2 = {(r.src, r.dst, r.part) for r in partitioner.down_assign(sym, vm_new).collect()}
     assert got2 == want2
     assert dir_sig(3) is None and dir_sig(4) is None
+
+
+def test_apply_down_reassign_crash_recovery(spark, tmp_path):
+    """ADVICE r3: the rewrite is staged — a crash after the staging
+    commit (mid-overwrite) is repaired idempotently by
+    recover_down_reassign; an uncommitted staging dir (no manifest) is
+    dropped without touching the sink."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tests.conftest import edges_df, random_graph
+
+    from sheep_spark import graph, partitioner
+
+    sym = edges_df(spark, random_graph(80, 200, seed=23))
+    verts = graph.vertices_from_edges(sym)
+    vm_old = partitioner.vertex_meta(verts, partitioner.naive_partition(verts, 4))
+    path = str(tmp_path / "parts")
+    partitioner.write_partitioned(partitioner.down_assign(sym, vm_old), path)
+
+    assign_new = vm_old.select(
+        "vid", F.when(F.col("pos") < 10, F.lit(2)).otherwise(F.col("part")).cast("int").alias("part")
+    )
+    vm_new = partitioner.vertex_meta(verts, assign_new)
+    moves = partitioner.down_reassign(sym, vm_old, vm_new).persist()
+    touched = sorted(
+        {r.part_old for r in moves.select("part_old").distinct().collect()}
+        | {r.part_new for r in moves.select("part_new").distinct().collect()}
+    )
+    assert touched
+
+    # --- simulate the crash window: staging + manifest committed, sink
+    # not yet overwritten (exactly the state after apply's staging step)
+    staging, manifest = partitioner._reassign_staging_paths(path)
+    new_full = partitioner.down_assign(sym, vm_new)
+    new_touched = new_full.where(F.col("part").isin([int(p) for p in touched]))
+    new_touched.write.mode("overwrite").partitionBy("part").parquet(staging)
+    with open(manifest, "w") as f:
+        json.dump({"touched": [int(p) for p in touched]}, f)
+
+    got = partitioner.recover_down_reassign(spark, path)
+    assert got and got["recovered"] and got["parts_rewritten"] == len(touched)
+    have = {(r.src, r.dst, r.part) for r in spark.read.parquet(path).collect()}
+    want = {(r.src, r.dst, r.part) for r in new_full.collect()}
+    assert have == want
+    assert not os.path.exists(staging) and not os.path.exists(manifest)
+    # idempotent: nothing in flight now
+    assert partitioner.recover_down_reassign(spark, path) is None
+
+    # --- uncommitted staging (no manifest) must be dropped, sink intact
+    os.makedirs(f"{staging}/part=0", exist_ok=True)
+    before = {(r.src, r.dst, r.part) for r in spark.read.parquet(path).collect()}
+    assert partitioner.recover_down_reassign(spark, path) is None
+    assert not os.path.exists(staging)
+    after = {(r.src, r.dst, r.part) for r in spark.read.parquet(path).collect()}
+    assert after == before
+    moves.unpersist()
