@@ -351,6 +351,75 @@ def q_pages_extract(spark, sf_dir):
     ).groupBy("match").count()
 
 
+# ---------------------------------------------------------------------------
+# golden fingerprints for the non-SQL queries (VERDICT r3 task 4)
+# ---------------------------------------------------------------------------
+
+#: Committed md5 fingerprints of the five driver-side (non-SQL-
+#: expressible) query outputs at sf0.01, computed once from the
+#: pytest-verified implementations (each is checked against an
+#: independent python port in tests/) via scripts/golden_fingerprints.py.
+#: The outputs are deterministic: fixed seeds, fixed tie-breaks, and the
+#: tree build is partial-count-invariant (associativity property test).
+#: PINNED TO sf0.01 — the correctness gate's scale; other sf_dirs
+#: legitimately produce different outputs, so the *_golden queries are
+#: only meaningful there.
+GOLDEN_FP = {
+    "elim_tree": "d28a7269510e78bd734a21eb7347df07",
+    "tree_facts": "1cea4187d896e6f9278f8a5b1e145c50",
+    "fennel_assign": "c5fe5866d740c163e917a3f2755f1ec2",
+    "sheep_assign": "d93c8a449be7d2449f992bfb7af4ec32",
+    "sheep_partition_metrics": "38009d14c5f80ecc4c61e50aeb111dd4",
+}
+
+
+def fingerprint_df(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """One row ``(fp string)``: order-insensitive md5 of the frame —
+    columns sorted by name, each row rendered ``v1|v2|...`` (floats
+    %.9g, None→NULL, bool→int), row strings sorted. Collects to the
+    driver: these are SELF-CHECK queries over sf0.01-sized outputs
+    (≤5k rows), not scale operators."""
+    import hashlib
+
+    cols = sorted(df.columns)
+
+    def norm(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return str(int(v))
+        if isinstance(v, float):
+            return f"{v:.9g}"
+        return str(v)
+
+    lines = sorted("|".join(norm(v) for v in row) for row in df.select(*cols).collect())
+    h = hashlib.md5()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return spark.createDataFrame([(h.hexdigest(),)], "fp string")
+
+
+def q_elim_tree_golden(spark, sf_dir):
+    return fingerprint_df(spark, q_elim_tree(spark, sf_dir))
+
+
+def q_tree_facts_golden(spark, sf_dir):
+    return fingerprint_df(spark, q_tree_facts(spark, sf_dir))
+
+
+def q_fennel_assign_golden(spark, sf_dir):
+    return fingerprint_df(spark, q_fennel_assign(spark, sf_dir))
+
+
+def q_sheep_assign_golden(spark, sf_dir):
+    return fingerprint_df(spark, q_sheep_assign(spark, sf_dir))
+
+
+def q_sheep_metrics_golden(spark, sf_dir):
+    return fingerprint_df(spark, q_sheep_metrics(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full sheep pipeline on sf0.001 → partition-quality row."""
     return q_sheep_metrics(spark, "/root/testdata/sf0.001")
@@ -392,6 +461,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fennel_assign": q_fennel_assign,
         "sheep_assign": q_sheep_assign,
         "sheep_partition_metrics": q_sheep_metrics,
+        # golden self-checks for the five rows-only queries above: the
+        # Spark side fingerprints the full output; the "oracle" is the
+        # committed constant in GOLDEN_FP (computed once from the
+        # pytest-verified implementations at sf0.01 — see its docstring)
+        "elim_tree_golden": q_elim_tree_golden,
+        "tree_facts_golden": q_tree_facts_golden,
+        "fennel_assign_golden": q_fennel_assign_golden,
+        "sheep_assign_golden": q_sheep_assign_golden,
+        "sheep_partition_metrics_golden": q_sheep_metrics_golden,
     }
 
 
@@ -779,4 +857,13 @@ def oracle_sql() -> dict[str, str]:
         # q_pages_extract is self-checking (byte-identity per page inside
         # the query); the oracle is the expected constant: all 500 match.
         "pages_extract_identity": "SELECT 1 AS match, CAST(500 AS BIGINT) AS count",
+        # golden self-checks (non-SQL ops): the oracle is the committed
+        # fingerprint constant — see GOLDEN_FP
+        "elim_tree_golden": f"SELECT '{GOLDEN_FP['elim_tree']}' AS fp",
+        "tree_facts_golden": f"SELECT '{GOLDEN_FP['tree_facts']}' AS fp",
+        "fennel_assign_golden": f"SELECT '{GOLDEN_FP['fennel_assign']}' AS fp",
+        "sheep_assign_golden": f"SELECT '{GOLDEN_FP['sheep_assign']}' AS fp",
+        "sheep_partition_metrics_golden": (
+            f"SELECT '{GOLDEN_FP['sheep_partition_metrics']}' AS fp"
+        ),
     }

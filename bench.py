@@ -58,12 +58,13 @@ SCALE_V = int(os.environ.get("SPARK_GRAFT_SCALE_V", str(SCALE_EDGES // 240)))
 PR_BENCH_ITERS = 5
 
 
-def synth_edges(spark, n_edges: int, n_vertices: int):
-    """Deterministic skewed edge list, pure JVM exprs: src uniform,
-    dst ~ u^2.5-concentrated (power-law-ish hubs at low ids)."""
+def synth_edges_raw(spark, n_edges: int, n_vertices: int):
+    """Deterministic skewed RAW edge list (may contain dups/self-loops),
+    pure JVM exprs: src uniform, dst ~ u^2.5-concentrated (power-law-ish
+    hubs at low ids)."""
     from pyspark.sql import functions as F
 
-    e = spark.range(n_edges).select(
+    return spark.range(n_edges).select(
         (F.abs(F.xxhash64(F.col("id"), F.lit(1))) % n_vertices).alias("src"),
         (
             F.pow(
@@ -73,9 +74,13 @@ def synth_edges(spark, n_edges: int, n_vertices: int):
             * n_vertices
         ).cast("long").alias("dst"),
     )
+
+
+def synth_edges(spark, n_edges: int, n_vertices: int):
+    """Symmetrized simple graph over synth_edges_raw."""
     from sheep_spark.graph import symmetrize
 
-    return symmetrize(e)
+    return symmetrize(synth_edges_raw(spark, n_edges, n_vertices))
 
 
 def pagerank_supersteps(spark, edges, iters: int) -> tuple[float, int]:
@@ -189,15 +194,33 @@ SCALE_HIGH = int(os.environ.get("SPARK_GRAFT_SCALE_HIGH", str(4 * SCALE_LOW)))
 def scale_worker(cores: int) -> None:
     """Child-process entry: run the superstep job at one parallelism
     level, print a JSON line. Median of post-warmup supersteps — the
-    steady-state regime the scaling rule is about."""
+    steady-state regime the scaling rule is about.
+
+    Job tuning (r4, measured): the superstep previously carried a
+    ~1.4 s DRIVER-SERIAL floor — AQE's per-stage replanning barriers
+    plus ~6 ms/task scheduling over 48-partition stages (a 3.7M-edge
+    graph still took 1.7 s/superstep at 8 cores). That floor is pure
+    Amdahl serial fraction: identical seconds in both legs, so it
+    caps measurable 2→8-core efficiency at ~0.78 no matter how well
+    the parallel part scales. AQE off + 16 shuffle partitions cuts
+    the floor to ~0.5 s (tiny-graph superstep 1.72 → 0.73 s) and the
+    full-size high leg from 6.3 → 5.5 s median, with lower variance.
+    On a real 4N-executor cluster the same fix applies: a fixed
+    per-superstep driver barrier is what the scaling rule punishes."""
     import statistics
 
     from sheep_spark import analytics
     from sheep_spark.session import get_spark
 
-    spark = get_spark(f"bench-scale-{cores}", cores=cores, shuffle_partitions=48)
+    n_shuf = int(os.environ.get("SPARK_GRAFT_SCALE_SHUF", "16"))
+    spark = get_spark(
+        f"bench-scale-{cores}",
+        cores=cores,
+        shuffle_partitions=n_shuf,
+        extra_conf={"spark.sql.adaptive.enabled": "false"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
-    edges = synth_edges(spark, SCALE_EDGES, SCALE_V).repartition(48).persist()
+    edges = synth_edges(spark, SCALE_EDGES, SCALE_V).repartition(n_shuf).persist()
     n_edges = edges.count()
     _, info = analytics.pagerank(edges, tol=0.0, max_iter=6)
     med = statistics.median(info["superstep_secs"][2:])
@@ -213,6 +236,35 @@ def scale_worker(cores: int) -> None:
         )
     )
     spark.stop()
+
+
+def cpu_probe_worker(k: int, dur: float) -> None:
+    """Child-process entry: k pure-arithmetic burn processes for dur
+    seconds (no memory traffic, no Spark) — measures what the HOST
+    actually delivers per core at that concurrency. Prints one JSON
+    line {"k": k, "per_core_per_sec": r}."""
+    import multiprocessing as mp
+
+    def burn(q, d):
+        x = 1.0
+        n = 0
+        t0 = time.time()
+        while time.time() - t0 < d:
+            for _ in range(100000):
+                x = x * 1.0000001 + 0.1
+            n += 100000
+        q.put(n)
+
+    q = mp.Queue()
+    ps = [mp.Process(target=burn, args=(q, dur)) for _ in range(k)]
+    t0 = time.time()
+    for p in ps:
+        p.start()
+    tot = sum(q.get() for _ in ps)
+    for p in ps:
+        p.join()
+    wall = time.time() - t0
+    print(json.dumps({"k": k, "per_core_per_sec": int(tot / k / wall)}))
 
 
 def _cgroup_setup(name: str, n_cpus: int) -> str | None:
@@ -238,74 +290,116 @@ def run_scaling() -> dict:
     steady-state median superstep throughput at both + efficiency."""
     import subprocess
 
-    def run_level(name: str, cores: int) -> dict:
+    def _in_quota(name: str, cores: int, cmd: list) -> tuple[list, bool]:
         cg = _cgroup_setup(name, cores)
-        cmd = [sys.executable, os.path.abspath(__file__), "--scale-worker", str(cores)]
         if cg is not None:
-            cmd = [
-                "bash",
-                "-c",
-                f'echo $$ > {cg}/cgroup.procs && exec "$@"',
-                "bench",
-                *cmd,
-            ]
+            cmd = ["bash", "-c", f'echo $$ > {cg}/cgroup.procs && exec "$@"', "bench", *cmd]
+        return cmd, cg is not None
+
+    def run_level(name: str, cores: int) -> dict:
+        cmd = [sys.executable, os.path.abspath(__file__), "--scale-worker", str(cores)]
+        cmd, quota = _in_quota(name, cores, cmd)
         proc = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
         line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
         res = json.loads(line)
-        res["cgroup_quota"] = cg is not None
+        res["cgroup_quota"] = quota
         return res
 
-    # Host noise only ever SLOWS a run, so alternate the levels and keep
-    # each level's best (min median): with one-sided noise, min over more
-    # samples converges monotonically to the true wall for BOTH legs, so
-    # extra rounds strictly improve the estimate (they cannot fake a
-    # better machine). A single throttled leg otherwise produces nonsense
-    # in either direction (r2 committed 0.798 off one slow high leg;
-    # r1 committed a super-linear 1.034 off one slow low leg).
-    repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
-    max_extra = int(os.environ.get("SPARK_GRAFT_SCALE_MAX_EXTRA", "2"))
-    out: dict = {}
-    rounds_run = 0
+    def host_ceiling() -> dict | None:
+        """Measured upper bound on ANY job's low→high efficiency here:
+        per-core throughput of a pure arithmetic loop (no memory, no
+        Spark) at high vs low concurrency under the same quotas. This
+        KVM host delivers ~13% less per-core at 8 sustained threads
+        than at 2 (hypervisor burst policy) — a shared-box artifact a
+        real N→4N-executor cluster does not have, since added
+        executors bring their own cores."""
+        rates = {}
+        for name, cores in (("low", SCALE_LOW), ("high", SCALE_HIGH)):
+            cmd = [sys.executable, os.path.abspath(__file__), "--cpu-probe", str(cores), "15"]
+            cmd, _ = _in_quota(name, cores, cmd)
+            try:
+                proc = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
+                line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+                rates[name] = json.loads(line)["per_core_per_sec"]
+            except Exception:
+                return None
+        return {
+            "per_core_low": rates["low"],
+            "per_core_high": rates["high"],
+            "ceiling": round(min(rates["high"] / rates["low"], 1.0), 3),
+        }
 
-    def one_round():
-        nonlocal rounds_run
+    # A FIXED, UNCONDITIONAL number of alternating rounds (ADVICE r3:
+    # the r3 adaptive rule resampled only while the reading was below
+    # the 0.8 bar, a one-directional optimistic bias — a throttled LOW
+    # leg inflates efficiency and never triggered extra rounds). Every
+    # round runs BOTH legs back-to-back, so each paired efficiency is
+    # measured under one host-throttle state; the per-round table below
+    # is committed so the artifact shows whether the legs plateaued.
+    #
+    # Estimator choice: the paired-round MEDIAN efficiency, not the
+    # ratio of cross-round per-leg minima. This host's throttle state
+    # drifts over hours in a way that is NOT one-sided-small per leg
+    # (measured: the 2-core leg keeps speeding up within a run as JIT
+    # completes, the 8-core leg degrades under sustained demand, and
+    # the same leg's minimum moved 17% between days) — so pooling a
+    # low-leg minimum from one host state against a high-leg minimum
+    # from another compares different machines. Pairing within a round
+    # is the controlled comparison; the per-leg minima are still
+    # reported for continuity.
+    repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
+    ceiling = host_ceiling()
+    out: dict = {}
+    rounds = []
+    for _ in range(repeats):
+        rnd: dict = {}
         for name, cores in (("low", SCALE_LOW), ("high", SCALE_HIGH)):
             res = run_level(name, cores)
+            rnd[name] = res
             if name not in out or res["superstep_median_s"] < out[name]["superstep_median_s"]:
                 out[name] = res
-        rounds_run += 1
-
-    def eff():
-        return (out["low"]["superstep_median_s"] / out["high"]["superstep_median_s"]) / (
-            SCALE_HIGH / SCALE_LOW
+        rounds.append(
+            {
+                "low_median_s": rnd["low"]["superstep_median_s"],
+                "high_median_s": rnd["high"]["superstep_median_s"],
+                "efficiency_paired": round(
+                    (rnd["low"]["superstep_median_s"] / rnd["high"]["superstep_median_s"])
+                    / (SCALE_HIGH / SCALE_LOW),
+                    3,
+                ),
+            }
         )
+    import statistics
 
-    for _ in range(repeats):
-        one_round()
-    # Asymmetry disclosure: extra rounds only trigger on LOW readings, so
-    # conditional-on-stopping the estimator can only sit at-or-above what
-    # unconditional extra rounds would report (each extra round re-runs
-    # BOTH legs and min() per leg moves every reading toward the truth —
-    # rounds never inflate a number, they just aren't spent when the
-    # reading already clears the bar). rounds_run is recorded so the
-    # artifact shows whether extras fired.
-    while eff() < 0.8 and rounds_run < repeats + max_extra:
-        one_round()  # keep sampling while the reading says "throttled leg"
-    speedup = out["low"]["superstep_median_s"] / out["high"]["superstep_median_s"]
-    efficiency = speedup / (SCALE_HIGH / SCALE_LOW)
+    efficiency = statistics.median(r["efficiency_paired"] for r in rounds)
+    speedup = efficiency * (SCALE_HIGH / SCALE_LOW)
+    min_ratio_eff = round(
+        (out["low"]["superstep_median_s"] / out["high"]["superstep_median_s"])
+        / (SCALE_HIGH / SCALE_LOW),
+        3,
+    )
     return {
-        "rounds_run": rounds_run,
+        "rounds_run": repeats,
         "cores_low": SCALE_LOW,
         "cores_high": SCALE_HIGH,
+        "rounds": rounds,
         "low": out["low"],
         "high": out["high"],
         "speedup": round(speedup, 3),
         "efficiency": round(efficiency, 3),
+        "efficiency_min_ratio": min_ratio_eff,
+        "host_ceiling": ceiling,
+        "efficiency_vs_host_ceiling": (
+            round(efficiency / ceiling["ceiling"], 3) if ceiling else None
+        ),
         "synthetic_edges": SCALE_EDGES,
         "protocol": (
-            "same job, separate processes, cgroup CPU quotas, median "
-            "post-warmup superstep, best-of alternating rounds (one-sided "
-            "host noise: min converges to the true wall per leg)"
+            "same job (AQE off, 16 shuffle partitions), separate "
+            "processes, cgroup CPU quotas, median post-warmup superstep; "
+            "FIXED number of alternating low/high rounds, headline = "
+            "median of per-round PAIRED efficiencies (each pair shares "
+            "one host-throttle state; cross-round per-leg minima mix "
+            "states and are reported separately as efficiency_min_ratio)"
         ),
     }
 
@@ -382,5 +476,7 @@ if __name__ == "__main__":
     ensure_malloc_retention()
     if len(sys.argv) > 1 and sys.argv[1] == "--scale-worker":
         scale_worker(int(sys.argv[2]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--cpu-probe":
+        cpu_probe_worker(int(sys.argv[2]), float(sys.argv[3]))
     else:
         main()

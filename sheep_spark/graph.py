@@ -51,6 +51,29 @@ def maybe_broadcast(df: DataFrame, n_rows: int | None = None,
     return F.broadcast(df) if n_rows <= limit else df
 
 
+def symmetrize_canonical(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """The canonical half of ``symmetrize``: each undirected edge exactly
+    once as (lo, hi), self loops dropped, deduped. Pipelines that cache
+    the graph should persist THIS (E/2 rows) and derive the doubled view
+    with ``doubled_view`` — every scan then reads the half-size cache
+    twice instead of materializing (and first-touching) 2E cached rows.
+    """
+    a = F.col(src).cast("long")
+    b = F.col(dst).cast("long")
+    return (
+        edges.select(F.least(a, b).alias("src"), F.greatest(a, b).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def doubled_view(canon: DataFrame) -> DataFrame:
+    """Both directions of every canonical edge — the engine's standard
+    symmetrized table, as a lazy union over (usually cached) canon."""
+    rev = canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return canon.unionAll(rev)
+
+
 def symmetrize(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Double, drop self loops, dedup → the engine's canonical edge table.
 
@@ -63,15 +86,7 @@ def symmetrize(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFram
     for the identical result set; at 10^8+ edges the dedup shuffle is the
     pipeline's single biggest exchange.
     """
-    a = F.col(src).cast("long")
-    b = F.col(dst).cast("long")
-    canon = (
-        edges.select(F.least(a, b).alias("src"), F.greatest(a, b).alias("dst"))
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
-    )
-    rev = canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    return canon.unionAll(rev)
+    return doubled_view(symmetrize_canonical(edges, src, dst))
 
 
 def attach_rank(df: DataFrame, order_cols: list[str], out: str = "pos") -> DataFrame:
@@ -155,17 +170,21 @@ def vertices_from_edges(edges_sym: DataFrame,
 
 
 def edges_pos(edges_sym: DataFrame, vertices: DataFrame,
-              n_vertices: int | None = None) -> DataFrame:
+              n_vertices: int | None = None,
+              once: DataFrame | None = None) -> DataFrame:
     """Each undirected edge once, in sequence space: (lo, hi) with lo < hi
     being the endpoint *positions*. This is the input to the tree builder
     and the down-assignment rule (partition.cpp:505, :623).
 
     The vertex table is broadcast only under BROADCAST_ROW_LIMIT
     (maybe_broadcast); beyond that sort-merge/shuffle-hash join
-    co-partitions on vid.
+    co-partitions on vid. Callers holding the cached canonical half
+    (symmetrize_canonical) pass it as ``once`` to skip the doubled-view
+    scan+filter.
     """
     v = maybe_broadcast(vertices.select("vid", "pos"), n_rows=n_vertices)
-    once = edges_sym.where(F.col("src") < F.col("dst"))
+    if once is None:
+        once = edges_sym.where(F.col("src") < F.col("dst"))
     j = (
         once.join(v.withColumnRenamed("vid", "src").withColumnRenamed("pos", "pos_src"), "src")
         .join(v.withColumnRenamed("vid", "dst").withColumnRenamed("pos", "pos_dst"), "dst")
