@@ -88,9 +88,12 @@ def main() -> None:
     n_vertices = verts.count()
     stages["degree_sequence"] = time.time() - t0
 
+    # epos stays LAZY: the driver tree strategy scans it exactly once
+    # (the arrow collect), so a persist+count here would materialize the
+    # same 35M rows twice — ~10 s of pure double-write (r4). The stage
+    # cost now shows up inside tree_build_collect.
     t0 = time.time()
-    epos = graph.edges_pos(edges, verts, n_vertices=n_vertices, once=canon).persist()
-    epos.count()
+    epos = graph.edges_pos(edges, verts, n_vertices=n_vertices, once=canon)
     stages["edges_pos"] = time.time() - t0
 
     t0 = time.time()
@@ -100,6 +103,7 @@ def main() -> None:
     stages["tree_build"] = time.time() - t0
     stages["tree_build_collect"] = tree_t.get("collect_s", 0.0)
     stages["tree_build_kernel"] = tree_t.get("kernel_s", 0.0)
+
 
     parts_meta = {}
     t0 = time.time()
@@ -131,6 +135,44 @@ def main() -> None:
     stages["evaluate"] = time.time() - t0
     assert all(m_fast[k] == m[k] for k in m_fast)
 
+    # Distributed-tree parity leg, AFTER every timed stage and at a
+    # REDUCED size (default 8M directed): the map/reduce build must keep
+    # producing the identical tree at a sane multiple of the driver
+    # funnel, or the scale-out story past DRIVER_TREE_MAX_EDGES
+    # regresses silently. Small + last on purpose — a full-size leg
+    # (~5 min) measured 293 s and its sustained load inflated every
+    # stage after it ~2x on this burst-throttled host (r4).
+    # Disable with SPARK_GRAFT_PIPE_MAPREDUCE=0.
+    mapreduce_leg = None
+    if os.environ.get("SPARK_GRAFT_PIPE_MAPREDUCE", "1") == "1":
+        from bench import synth_edges_raw as _raw
+
+        pe = int(os.environ.get("SPARK_GRAFT_PIPE_PARITY_EDGES", str(8_000_000)))
+        pv = pe // 9
+        pcanon = graph.symmetrize_canonical(_raw(spark, pe, pv)).persist()
+        pn = pcanon.count()
+        pverts = graph.vertices_from_edges(graph.doubled_view(pcanon)).persist()
+        pnv = pverts.count()
+        pepos = graph.edges_pos(None, pverts, n_vertices=pnv, once=pcanon)
+        t0 = time.time()
+        t_drv = tree.build_tree(pepos, pnv, n_edges=pn, strategy="driver").persist()
+        t_drv.count()
+        drv_wall = time.time() - t0
+        t0 = time.time()
+        t_mr = tree.build_tree(pepos, pnv, n_edges=pn, strategy="mapreduce").persist()
+        t_mr.count()
+        mr_wall = time.time() - t0
+        mismatch = t_mr.exceptAll(t_drv).unionAll(t_drv.exceptAll(t_mr)).count()
+        mapreduce_leg = {
+            "edges_undirected": pn,
+            "driver_s": round(drv_wall, 2),
+            "mapreduce_s": round(mr_wall, 2),
+            "ratio": round(mr_wall / max(drv_wall, 1e-9), 2),
+            "identical": mismatch == 0,
+        }
+        for df in (t_drv, t_mr, pcanon, pverts, pepos):
+            df.unpersist()
+
     total = time.time() - t_all
     core = (
         stages["load_symmetrize_dedup"]
@@ -151,6 +193,7 @@ def main() -> None:
                 "pipeline_core_s": round(core, 2),
                 "us_per_undirected_edge": round(core * 1e6 / n_undirected, 4),
                 "reference_com_lj": {"end_to_end_s": 6.19, "us_per_edge": 0.178},
+                "mapreduce_tree": mapreduce_leg,
                 "ecv_down_per_edge_k8": round(m["ecv_down_per_edge"], 6),
                 "down_balance_k8": m["down_balance"],
                 "total_wall_s": round(total, 1),
