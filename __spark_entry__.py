@@ -274,6 +274,23 @@ def q_sheep_metrics(spark, sf_dir):
     return spark.createDataFrame([tuple(int(m[c]) for c in cols)], ", ".join(f"{c} long" for c in cols))
 
 
+def q_tree_width_facts(spark, sf_dir):
+    """T2/T6 jxn machinery: fill-tree facts (width/fill/heights) of the
+    degree sequence — the reference's -w / find_max_width mode."""
+    from sheep_spark import graph, jxn
+
+    edges, verts = _graph(spark, sf_dir)
+    _, f = jxn.build_jxn_tree(graph.edges_pos(edges, verts), verts.count())
+    cols = ["vert_cnt", "edge_cnt", "width", "fill", "vert_height", "edge_height", "root_cnt"]
+    return spark.createDataFrame(
+        [tuple(int(f[c]) for c in cols)], ", ".join(f"{c} long" for c in cols)
+    )
+
+
+def q_tree_width_facts_golden(spark, sf_dir):
+    return fingerprint_df(spark, q_tree_width_facts(spark, sf_dir))
+
+
 def q_pagerank_csr5(spark, sf_dir):
     """CSR gather-scatter PageRank — same math as q_pagerank5, different
     physical plan; shares its SQL oracle (values identical to 1e-10)."""
@@ -370,6 +387,7 @@ GOLDEN_FP = {
     "fennel_assign": "c5fe5866d740c163e917a3f2755f1ec2",
     "sheep_assign": "d93c8a449be7d2449f992bfb7af4ec32",
     "sheep_partition_metrics": "38009d14c5f80ecc4c61e50aeb111dd4",
+    "tree_width_facts": "bd6dd50aa38afee188e3cf7507110cca",
 }
 
 
@@ -465,7 +483,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Spark side fingerprints the full output; the "oracle" is the
         # committed constant in GOLDEN_FP (computed once from the
         # pytest-verified implementations at sf0.01 — see its docstring)
+        "tree_width_facts": q_tree_width_facts,
         "elim_tree_golden": q_elim_tree_golden,
+        "tree_width_facts_golden": q_tree_width_facts_golden,
         "tree_facts_golden": q_tree_facts_golden,
         "fennel_assign_golden": q_fennel_assign_golden,
         "sheep_assign_golden": q_sheep_assign_golden,
@@ -866,4 +886,5 @@ def oracle_sql() -> dict[str, str]:
         "sheep_partition_metrics_golden": (
             f"SELECT '{GOLDEN_FP['sheep_partition_metrics']}' AS fp"
         ),
+        "tree_width_facts_golden": f"SELECT '{GOLDEN_FP['tree_width_facts']}' AS fp",
     }

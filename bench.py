@@ -312,7 +312,10 @@ def run_scaling() -> dict:
         KVM host delivers ~13% less per-core at 8 sustained threads
         than at 2 (hypervisor burst policy) — a shared-box artifact a
         real N→4N-executor cluster does not have, since added
-        executors bring their own cores."""
+        executors bring their own cores. Measured PER ROUND (back to
+        back with that round's legs): the throttle state drifts over
+        minutes, so a single probe can sample a different machine than
+        the legs did (a post-pipeline probe once read 0.63)."""
         rates = {}
         for name, cores in (("low", SCALE_LOW), ("high", SCALE_HIGH)):
             cmd = [sys.executable, os.path.abspath(__file__), "--cpu-probe", str(cores), "15"]
@@ -347,8 +350,9 @@ def run_scaling() -> dict:
     # from another compares different machines. Pairing within a round
     # is the controlled comparison; the per-leg minima are still
     # reported for continuity.
+    import statistics
+
     repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
-    ceiling = host_ceiling()
     out: dict = {}
     rounds = []
     for _ in range(repeats):
@@ -358,6 +362,7 @@ def run_scaling() -> dict:
             rnd[name] = res
             if name not in out or res["superstep_median_s"] < out[name]["superstep_median_s"]:
                 out[name] = res
+        rnd_ceiling = host_ceiling()
         rounds.append(
             {
                 "low_median_s": rnd["low"]["superstep_median_s"],
@@ -367,10 +372,15 @@ def run_scaling() -> dict:
                     / (SCALE_HIGH / SCALE_LOW),
                     3,
                 ),
+                "host_ceiling": rnd_ceiling["ceiling"] if rnd_ceiling else None,
             }
         )
-    import statistics
-
+    ceilings = [r["host_ceiling"] for r in rounds if r["host_ceiling"] is not None]
+    ceiling = (
+        {"per_round": ceilings, "ceiling": round(statistics.median(ceilings), 3)}
+        if ceilings
+        else None
+    )
     efficiency = statistics.median(r["efficiency_paired"] for r in rounds)
     speedup = efficiency * (SCALE_HIGH / SCALE_LOW)
     min_ratio_eff = round(
@@ -434,6 +444,32 @@ def run_pipeline_scale() -> dict | None:
         return {"error": f"{type(e).__name__}: {e}"[:300]}
 
 
+def run_tree_parity() -> dict | None:
+    """Full-size driver-vs-mapreduce tree parity in its own quota'd
+    process (see bench_scale_pipeline.parity_main for why it is
+    isolated and full-size). Skippable via SPARK_GRAFT_SKIP_PARITY=1."""
+    import subprocess
+
+    script = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "scripts", "bench_scale_pipeline.py"
+    )
+    env = dict(os.environ)
+    env["SPARK_GRAFT_PIPE_PARITY_ONLY"] = "1"
+    env.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
+    quota_cores = int(os.environ.get("SPARK_GRAFT_PIPE_QUOTA", "8"))
+    env.setdefault("SPARK_GRAFT_PIPE_CPUS", str(quota_cores))
+    cmd = [sys.executable, script]
+    cg = _cgroup_setup("parity", quota_cores)
+    if cg is not None:
+        cmd = ["bash", "-c", f'echo $$ > {cg}/cgroup.procs && exec "$@"', "bench", *cmd]
+    try:
+        proc = subprocess.run(cmd, capture_output=True, text=True, timeout=2400, env=env)
+        line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+        return json.loads(line)
+    except Exception as e:
+        return {"error": f"{type(e).__name__}: {e}"[:300]}
+
+
 def main() -> None:
     from sheep_spark.session import get_spark
 
@@ -447,6 +483,9 @@ def main() -> None:
         run_pipeline_scale() if os.environ.get("SPARK_GRAFT_SKIP_PIPELINE") != "1" else None
     )
     scaling = run_scaling() if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1" else None
+    tree_parity = (
+        run_tree_parity() if os.environ.get("SPARK_GRAFT_SKIP_PARITY") != "1" else None
+    )
 
     headline = (
         scaling["high"]["edges_per_sec_per_superstep"]
@@ -467,6 +506,7 @@ def main() -> None:
         },
         "scaling": scaling,
         "pipeline_scale": pipeline_scale,
+        "tree_parity": tree_parity,
         "total_wall_s": round(time.time() - t_total, 1),
     }
     print(json.dumps(result))

@@ -135,44 +135,6 @@ def main() -> None:
     stages["evaluate"] = time.time() - t0
     assert all(m_fast[k] == m[k] for k in m_fast)
 
-    # Distributed-tree parity leg, AFTER every timed stage and at a
-    # REDUCED size (default 8M directed): the map/reduce build must keep
-    # producing the identical tree at a sane multiple of the driver
-    # funnel, or the scale-out story past DRIVER_TREE_MAX_EDGES
-    # regresses silently. Small + last on purpose — a full-size leg
-    # (~5 min) measured 293 s and its sustained load inflated every
-    # stage after it ~2x on this burst-throttled host (r4).
-    # Disable with SPARK_GRAFT_PIPE_MAPREDUCE=0.
-    mapreduce_leg = None
-    if os.environ.get("SPARK_GRAFT_PIPE_MAPREDUCE", "1") == "1":
-        from bench import synth_edges_raw as _raw
-
-        pe = int(os.environ.get("SPARK_GRAFT_PIPE_PARITY_EDGES", str(8_000_000)))
-        pv = pe // 9
-        pcanon = graph.symmetrize_canonical(_raw(spark, pe, pv)).persist()
-        pn = pcanon.count()
-        pverts = graph.vertices_from_edges(graph.doubled_view(pcanon)).persist()
-        pnv = pverts.count()
-        pepos = graph.edges_pos(None, pverts, n_vertices=pnv, once=pcanon)
-        t0 = time.time()
-        t_drv = tree.build_tree(pepos, pnv, n_edges=pn, strategy="driver").persist()
-        t_drv.count()
-        drv_wall = time.time() - t0
-        t0 = time.time()
-        t_mr = tree.build_tree(pepos, pnv, n_edges=pn, strategy="mapreduce").persist()
-        t_mr.count()
-        mr_wall = time.time() - t0
-        mismatch = t_mr.exceptAll(t_drv).unionAll(t_drv.exceptAll(t_mr)).count()
-        mapreduce_leg = {
-            "edges_undirected": pn,
-            "driver_s": round(drv_wall, 2),
-            "mapreduce_s": round(mr_wall, 2),
-            "ratio": round(mr_wall / max(drv_wall, 1e-9), 2),
-            "identical": mismatch == 0,
-        }
-        for df in (t_drv, t_mr, pcanon, pverts, pepos):
-            df.unpersist()
-
     total = time.time() - t_all
     core = (
         stages["load_symmetrize_dedup"]
@@ -193,10 +155,72 @@ def main() -> None:
                 "pipeline_core_s": round(core, 2),
                 "us_per_undirected_edge": round(core * 1e6 / n_undirected, 4),
                 "reference_com_lj": {"end_to_end_s": 6.19, "us_per_edge": 0.178},
-                "mapreduce_tree": mapreduce_leg,
                 "ecv_down_per_edge_k8": round(m["ecv_down_per_edge"], 6),
                 "down_balance_k8": m["down_balance"],
                 "total_wall_s": round(total, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+def parity_main() -> None:
+    """Distributed-tree parity at FULL size, in its own process (the
+    map/reduce build must keep producing the identical tree at a sane
+    multiple of the driver funnel, or the scale-out story past
+    DRIVER_TREE_MAX_EDGES regresses silently). Separate process on
+    purpose: a full-size leg (~5 min) embedded mid-pipeline measured
+    293 s and its sustained load inflated every stage after it ~2x on
+    this burst-throttled host; and at reduced size (8M edges) the
+    map/reduce path's fixed costs (worker spawn, merge-round scheduling)
+    dominate and the ratio reads 3-10x even though the 35M-edge ratio is
+    ~1.1x — so the leg runs full-size, isolated, last."""
+    import time as _time
+
+    from bench import synth_edges_raw
+    from sheep_spark import graph, tree
+    from sheep_spark.session import get_spark
+
+    os.environ.setdefault("SPARK_GRAFT_XMS_PRETOUCH", "12g")
+    spark = get_spark("bench-tree-parity", cores=CPUS, shuffle_partitions=2 * CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def _warm(batches):
+        import pandas  # noqa: F401
+
+        import sheep_spark.tree  # noqa: F401
+
+        yield from batches
+
+    spark.range(4 * CPUS).repartition(4 * CPUS).mapInArrow(_warm, "id long").count()
+    import numpy as np
+
+    _pool = np.ones(600_000_000, dtype=np.int64)
+    del _pool
+
+    canon = graph.symmetrize_canonical(synth_edges_raw(spark, EDGES, V)).persist()
+    pn = canon.count()
+    verts = graph.vertices_from_edges(graph.doubled_view(canon)).persist()
+    pnv = verts.count()
+    epos = graph.edges_pos(None, verts, n_vertices=pnv, once=canon)
+    t0 = _time.time()
+    t_drv = tree.build_tree(epos, pnv, n_edges=pn, strategy="driver").persist()
+    t_drv.count()
+    drv_wall = _time.time() - t0
+    t0 = _time.time()
+    t_mr = tree.build_tree(epos, pnv, n_edges=pn, strategy="mapreduce").persist()
+    t_mr.count()
+    mr_wall = _time.time() - t0
+    mismatch = t_mr.exceptAll(t_drv).unionAll(t_drv.exceptAll(t_mr)).count()
+    print(
+        json.dumps(
+            {
+                "edges_undirected": pn,
+                "n_vertices": pnv,
+                "driver_s": round(drv_wall, 2),
+                "mapreduce_s": round(mr_wall, 2),
+                "ratio": round(mr_wall / max(drv_wall, 1e-9), 2),
+                "identical": mismatch == 0,
             }
         )
     )
@@ -207,4 +231,7 @@ if __name__ == "__main__":
     from bench import ensure_malloc_retention
 
     ensure_malloc_retention()  # sandbox first-touch artifact; see bench.py
-    main()
+    if os.environ.get("SPARK_GRAFT_PIPE_PARITY_ONLY") == "1":
+        parity_main()
+    else:
+        main()

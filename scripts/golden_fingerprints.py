@@ -34,6 +34,7 @@ def main() -> None:
         "fennel_assign": entrymod.q_fennel_assign,
         "sheep_assign": entrymod.q_sheep_assign,
         "sheep_partition_metrics": entrymod.q_sheep_metrics,
+        "tree_width_facts": entrymod.q_tree_width_facts,
     }
     print("GOLDEN_FP = {")
     for name, fn in base.items():

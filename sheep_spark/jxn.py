@@ -1,0 +1,230 @@
+"""T2/T6 — width-limited elimination trees with fill (jxn) tables.
+
+Closes the last SURVEY §2 gap (VERDICT r3 "What's missing" #1): the
+reference's ``-w`` mode builds, per eliminated vertex, the *fill
+neighborhood* ``jxn`` — the merge of its kids' jxns with its own
+post-neighbors, minus itself (lib/jnode.h:230-254 ``newUnion``,
+lib/merge.h:46-155 k-way ``heuristic_merge``) — fails the insert when
+that set exceeds ``width_limit`` (lib/jtree.cpp:65-110, parameterized
+``insert``), defers failed vertices, and finally roots every deferred
+vertex in a trivial chain whose jxn shrinks by one per node
+(lib/jtree.cpp:120-170). ``width(id) = 1 + |jxn(id)|``; the maximum
+over a full (no-limit) run is the treewidth of the elimination order,
+and ``fill = Σ (width − pst_weight − 1)`` (lib/jnode.cpp Facts).
+
+Spark-first shape: the elimination game is sequential by definition —
+the reference runs it single-node too, memory-bounded (jtree.h
+``memory_limit``) — so this is a driver kernel fed by one arrow collect
+of the pos-space edge list, the same rank-0 funnel as
+``tree.build_tree(strategy='driver')``, returning the annotated tree in
+one upload. The partitioner path never builds jxn (reference default
+jopts, jtree.h:86-90); this module serves the treewidth / fill
+experiments of the reference's ``-w`` flag, at the same single-node
+scale envelope the reference gives it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def _adjacency(lo, hi, n: int):
+    """Full adjacency (both directions) as CSR numpy arrays."""
+    import numpy as np
+
+    deg = np.bincount(lo, minlength=n) + np.bincount(hi, minlength=n)
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(deg, out=indptr[1:])
+    src = np.concatenate([lo, hi])
+    dst = np.concatenate([hi, lo])
+    order = np.argsort(src, kind="stable")
+    nbr = dst[order]
+    return indptr, nbr
+
+
+def jxn_kernel(lo, hi, n: int, width_limit: int | None = None):
+    """Pure-python/numpy elimination with jxn sets over pos ids 0..n-1.
+
+    Returns (jnid, pos, parent, pst_weight, width) parallel lists in
+    INSERTION order (jnid == index), plus the facts dict. parent is -1
+    for roots. With ``width_limit`` set, a vertex whose merged jxn would
+    exceed the limit is deferred (insert FAILURE, jtree.cpp:108-110) and
+    re-inserted in the trivial tail chain, exactly like the reference.
+    """
+    limit = width_limit if width_limit is not None else n + 1
+
+    indptr, nbr = _adjacency(lo, hi, n)
+    inserted = [False] * n
+    jnid_of = [-1] * n  # pos -> jnid
+    # union-find over inserted vertices' jnids (path-halving find)
+    uf_parent: list[int] = []  # per jnid: union-find parent (== tree parent until adopted)
+    tree_parent: list[int] = []
+    pst_weight: list[int] = []
+    width: list[int] = []
+    pos_of: list[int] = []
+    jxn: list[set | None] = []
+
+    def find(j: int) -> int:
+        while uf_parent[j] != j:
+            uf_parent[j] = uf_parent[uf_parent[j]]
+            j = uf_parent[j]
+        return j
+
+    wide: list[int] = []
+
+    def try_insert(x: int) -> bool:
+        """The parameterized insert (jtree.cpp:65-110): compute the
+        merged jxn first; commit adoptions only on success (the
+        reference defers adoptKids for exactly this revocability)."""
+        pst = 0
+        s: set = set()
+        kid_roots: set = set()
+        for k in range(indptr[x], indptr[x + 1]):
+            v = nbr[k]
+            if v == x:
+                continue
+            if inserted[v]:
+                kid_roots.add(find(jnid_of[v]))
+            else:
+                pst += 1
+                s.add(v)
+                if pst > limit:  # early pst_weight check, jtree.cpp:87
+                    return False
+        for r in kid_roots:
+            s |= jxn[r]  # type: ignore[operator]
+        s.discard(x)
+        if len(s) > limit:  # heuristic_merge failure, jnode.h:247
+            return False
+        j = len(pos_of)
+        pos_of.append(x)
+        tree_parent.append(-1)
+        uf_parent.append(j)
+        pst_weight.append(pst)
+        width.append(1 + len(s))
+        jxn.append(s)
+        for r in kid_roots:
+            tree_parent[r] = j
+            uf_parent[r] = j
+            jxn[r] = None  # freed on adoption (jxn_data.deleteJData)
+        inserted[x] = True
+        jnid_of[x] = j
+        return True
+
+    for x in range(n):
+        if not try_insert(x):
+            wide.append(x)
+
+    # tail chain for deferred vertices (jtree.cpp:120-170): the first
+    # tail node adopts every current root and its jxn is all remaining
+    # vertices; each subsequent node chains on the previous, jxn
+    # shrinking by one.
+    if wide:
+        remaining = len(wide) - 1
+        first = True
+        prev = -1
+        rest = set(wide)
+        for x in wide:
+            rest.discard(x)
+            j = len(pos_of)
+            pos_of.append(x)
+            uf_parent.append(j)
+            pst = 0
+            for k in range(indptr[x], indptr[x + 1]):
+                v = nbr[k]
+                if v != x and not inserted[v]:
+                    pst += 1
+            pst_weight.append(pst)
+            if first:
+                for r in range(j):
+                    if tree_parent[r] == -1:
+                        tree_parent[r] = j
+                        jxn[r] = None
+                width.append(1 + remaining)
+                jxn.append(set(rest))
+                first = False
+            else:
+                tree_parent[prev] = j
+                remaining -= 1
+                width.append(1 + remaining)
+                jxn.append(set(rest))
+            tree_parent.append(-1)
+            inserted[x] = True
+            jnid_of[x] = j
+            prev = j
+
+    facts = _facts(tree_parent, pst_weight, width)
+    return pos_of, tree_parent, pst_weight, width, facts
+
+
+def _facts(parent: list, pst_weight: list, width: list) -> dict:
+    """lib/jnode.cpp Facts: one ascending pass (jnid order is already
+    topological: parents have larger jnids)."""
+    n = len(parent)
+    vheight = [0] * n
+    eheight = [0] * n
+    out = {
+        "vert_cnt": n,
+        "edge_cnt": 0,
+        "width": 0,
+        "fill": 0,
+        "vert_height": 0,
+        "edge_height": 0,
+        "root_cnt": 0,
+    }
+    for j in range(n):
+        p = parent[j]
+        out["edge_cnt"] += pst_weight[j]
+        out["width"] = max(out["width"], width[j])
+        out["fill"] += width[j] - pst_weight[j] - 1
+        vheight[j] += 1
+        eheight[j] += pst_weight[j]
+        if p != -1:
+            vheight[p] = max(vheight[p], vheight[j])
+            eheight[p] = max(eheight[p], eheight[j])
+        else:
+            out["vert_height"] = max(out["vert_height"], vheight[j])
+            out["edge_height"] = max(out["edge_height"], eheight[j])
+            out["root_cnt"] += 1
+    return out
+
+
+def build_jxn_tree(
+    edges_pos_df: DataFrame, n_vertices: int, width_limit: int | None = None
+) -> tuple[DataFrame, dict]:
+    """``(tree(jnid, pos, parent, pst_weight, width), facts)`` — the
+    reference's jxn-mode tree over the degree sequence. ``jnid`` is the
+    INSERTION order, which equals ``pos`` exactly until the first
+    deferral (width_limit); ``parent`` is NULL for roots.
+    """
+    from .tree import collect_int64_columns
+
+    lo, hi = collect_int64_columns(edges_pos_df, ("lo", "hi"))
+    pos_of, parent, pst_w, width, facts = jxn_kernel(
+        lo, hi, n_vertices, width_limit=width_limit
+    )
+    import pandas as pd
+
+    spark = edges_pos_df.sparkSession
+    pdf = pd.DataFrame(
+        {
+            "jnid": range(len(pos_of)),
+            "pos": pos_of,
+            "parent": [p if p >= 0 else None for p in parent],
+            "pst_weight": pst_w,
+            "width": width,
+        }
+    )
+    df = spark.createDataFrame(
+        pdf.astype({"jnid": "int64", "pos": "int64", "parent": "Int64",
+                    "pst_weight": "int64", "width": "int64"})
+    )
+    return df, facts
+
+
+def treewidth_of_sequence(edges_pos_df: DataFrame, n_vertices: int) -> int:
+    """find_max_width (jtree.h Options): the treewidth of the degree-
+    ascending elimination order = max width of the unlimited jxn run.
+    (Reference convention: width counts the bag size, i.e. the usual
+    graph-theoretic treewidth bound is ``width − 1``.)"""
+    _, facts = build_jxn_tree(edges_pos_df, n_vertices, width_limit=None)
+    return facts["width"]

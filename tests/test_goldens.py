@@ -22,6 +22,7 @@ def test_golden_fingerprint_matches(spark, name):
         "fennel_assign": entrymod.q_fennel_assign,
         "sheep_assign": entrymod.q_sheep_assign,
         "sheep_partition_metrics": entrymod.q_sheep_metrics,
+        "tree_width_facts": entrymod.q_tree_width_facts,
     }
     got = entrymod.fingerprint_df(spark, base[name](spark, SF01)).collect()[0]["fp"]
     assert got == entrymod.GOLDEN_FP[name], (
