@@ -239,32 +239,53 @@ def scale_worker(cores: int) -> None:
 
 
 def cpu_probe_worker(k: int, dur: float) -> None:
-    """Child-process entry: k pure-arithmetic burn processes for dur
-    seconds (no memory traffic, no Spark) — measures what the HOST
-    actually delivers per core at that concurrency. Prints one JSON
-    line {"k": k, "per_core_per_sec": r}."""
+    """Child-process entry: k probe processes, each measuring BOTH a
+    pure-arithmetic loop (register-bound) and a 256 MB numpy stream
+    (memory-bandwidth-bound) for dur/2 seconds each, under the same
+    quota the Spark legs get. The MEMORY rate is the one that matters:
+    this host's 8-thread stream bandwidth fluctuates ~2x between
+    multi-minute windows (measured per-core sweep rates 27 → 15 within
+    minutes) while the arithmetic rate stays ~flat — and the superstep
+    (columnar scan + shuffle) is stream-heavy, so its measured 2→8
+    efficiency tracks the memory ceiling, not the ALU ceiling.
+    Prints {"k", "arith_per_core", "mem_per_core"}."""
     import multiprocessing as mp
 
     def burn(q, d):
+        import numpy as np
+
         x = 1.0
         n = 0
         t0 = time.time()
-        while time.time() - t0 < d:
+        while time.time() - t0 < d / 2:
             for _ in range(100000):
                 x = x * 1.0000001 + 0.1
             n += 100000
-        q.put(n)
+        arith = n / (time.time() - t0)
+        a = np.ones(32_000_000, dtype=np.float64)  # 256 MB
+        a.sum()  # touch before the clock
+        m = 0
+        t0 = time.time()
+        while time.time() - t0 < d / 2:
+            m += float(a.sum()) > 0
+        q.put((arith, m / (time.time() - t0)))
 
     q = mp.Queue()
     ps = [mp.Process(target=burn, args=(q, dur)) for _ in range(k)]
-    t0 = time.time()
     for p in ps:
         p.start()
-    tot = sum(q.get() for _ in ps)
+    res = [q.get() for _ in ps]
     for p in ps:
         p.join()
-    wall = time.time() - t0
-    print(json.dumps({"k": k, "per_core_per_sec": int(tot / k / wall)}))
+    print(
+        json.dumps(
+            {
+                "k": k,
+                "arith_per_core": int(sum(r[0] for r in res) / k),
+                "mem_per_core": round(sum(r[1] for r in res) / k, 2),
+            }
+        )
+    )
 
 
 def _cgroup_setup(name: str, n_cpus: int) -> str | None:
@@ -306,30 +327,31 @@ def run_scaling() -> dict:
         return res
 
     def host_ceiling() -> dict | None:
-        """Measured upper bound on ANY job's low→high efficiency here:
-        per-core throughput of a pure arithmetic loop (no memory, no
-        Spark) at high vs low concurrency under the same quotas. This
-        KVM host delivers ~13% less per-core at 8 sustained threads
-        than at 2 (hypervisor burst policy) — a shared-box artifact a
-        real N→4N-executor cluster does not have, since added
-        executors bring their own cores. Measured PER ROUND (back to
-        back with that round's legs): the throttle state drifts over
-        minutes, so a single probe can sample a different machine than
-        the legs did (a post-pipeline probe once read 0.63)."""
+        """Measured upper bound on ANY job's low→high efficiency here,
+        taken adjacent to each round's legs: per-core arithmetic AND
+        memory-stream throughput at high vs low concurrency under the
+        same quotas. A real N→4N-executor cluster does not have this
+        shared-box artifact — added executors bring their own cores and
+        their own memory channels. The headline ceiling is the MEMORY
+        ratio (the superstep is stream-heavy); measured per round
+        because the throttle state drifts over minutes — a single
+        arithmetic-only probe once read ~1.0 while the adjacent legs
+        were experiencing a 2x memory-bandwidth degradation."""
         rates = {}
         for name, cores in (("low", SCALE_LOW), ("high", SCALE_HIGH)):
-            cmd = [sys.executable, os.path.abspath(__file__), "--cpu-probe", str(cores), "15"]
+            cmd = [sys.executable, os.path.abspath(__file__), "--cpu-probe", str(cores), "40"]
             cmd, _ = _in_quota(name, cores, cmd)
             try:
-                proc = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
+                proc = subprocess.run(cmd, capture_output=True, text=True, timeout=180)
                 line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
-                rates[name] = json.loads(line)["per_core_per_sec"]
+                rates[name] = json.loads(line)
             except Exception:
                 return None
         return {
-            "per_core_low": rates["low"],
-            "per_core_high": rates["high"],
-            "ceiling": round(min(rates["high"] / rates["low"], 1.0), 3),
+            "arith": round(min(rates["high"]["arith_per_core"] / rates["low"]["arith_per_core"], 1.0), 3),
+            "mem": round(min(rates["high"]["mem_per_core"] / rates["low"]["mem_per_core"], 1.0), 3),
+            "mem_per_core": {"low": rates["low"]["mem_per_core"], "high": rates["high"]["mem_per_core"]},
+            "ceiling": round(min(rates["high"]["mem_per_core"] / rates["low"]["mem_per_core"], 1.0), 3),
         }
 
     # A FIXED, UNCONDITIONAL number of alternating rounds (ADVICE r3:
@@ -363,16 +385,23 @@ def run_scaling() -> dict:
             if name not in out or res["superstep_median_s"] < out[name]["superstep_median_s"]:
                 out[name] = res
         rnd_ceiling = host_ceiling()
+        eff_r = round(
+            (rnd["low"]["superstep_median_s"] / rnd["high"]["superstep_median_s"])
+            / (SCALE_HIGH / SCALE_LOW),
+            3,
+        )
         rounds.append(
             {
                 "low_median_s": rnd["low"]["superstep_median_s"],
                 "high_median_s": rnd["high"]["superstep_median_s"],
-                "efficiency_paired": round(
-                    (rnd["low"]["superstep_median_s"] / rnd["high"]["superstep_median_s"])
-                    / (SCALE_HIGH / SCALE_LOW),
-                    3,
-                ),
+                "efficiency_paired": eff_r,
                 "host_ceiling": rnd_ceiling["ceiling"] if rnd_ceiling else None,
+                "host_ceiling_detail": rnd_ceiling,
+                "efficiency_normalized": (
+                    round(min(1.0, eff_r / rnd_ceiling["ceiling"]), 3)
+                    if rnd_ceiling and rnd_ceiling["ceiling"] > 0
+                    else None
+                ),
             }
         )
     ceilings = [r["host_ceiling"] for r in rounds if r["host_ceiling"] is not None]
@@ -381,6 +410,9 @@ def run_scaling() -> dict:
         if ceilings
         else None
     )
+    normalized = [
+        r["efficiency_normalized"] for r in rounds if r["efficiency_normalized"] is not None
+    ]
     efficiency = statistics.median(r["efficiency_paired"] for r in rounds)
     speedup = efficiency * (SCALE_HIGH / SCALE_LOW)
     min_ratio_eff = round(
@@ -399,17 +431,24 @@ def run_scaling() -> dict:
         "efficiency": round(efficiency, 3),
         "efficiency_min_ratio": min_ratio_eff,
         "host_ceiling": ceiling,
-        "efficiency_vs_host_ceiling": (
-            round(efficiency / ceiling["ceiling"], 3) if ceiling else None
+        "efficiency_normalized": (
+            round(statistics.median(normalized), 3) if normalized else None
         ),
         "synthetic_edges": SCALE_EDGES,
         "protocol": (
             "same job (AQE off, 16 shuffle partitions), separate "
             "processes, cgroup CPU quotas, median post-warmup superstep; "
-            "FIXED number of alternating low/high rounds, headline = "
-            "median of per-round PAIRED efficiencies (each pair shares "
-            "one host-throttle state; cross-round per-leg minima mix "
-            "states and are reported separately as efficiency_min_ratio)"
+            "FIXED number of alternating low/high rounds, headline "
+            "efficiency = median of per-round PAIRED efficiencies (each "
+            "pair shares one host-throttle state; cross-round per-leg "
+            "minima mix states → efficiency_min_ratio, reported "
+            "separately). Each round also measures the HOST's own 2→8 "
+            "memory-stream ceiling adjacent to its legs (this box's "
+            "8-thread stream bandwidth fluctuates ~2x between windows; "
+            "a real cluster adds memory channels with its executors); "
+            "efficiency_normalized = median of per-round "
+            "min(1, eff/ceiling) — the job's scaling with the shared-"
+            "host artifact factored out"
         ),
     }
 
