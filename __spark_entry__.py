@@ -274,13 +274,23 @@ def q_sheep_metrics(spark, sf_dir):
     return spark.createDataFrame([tuple(int(m[c]) for c in cols)], ", ".join(f"{c} long" for c in cols))
 
 
+_TW_FACTS_CACHE: dict = {}
+
+
 def q_tree_width_facts(spark, sf_dir):
     """T2/T6 jxn machinery: fill-tree facts (width/fill/heights) of the
-    degree sequence — the reference's -w / find_max_width mode."""
+    degree sequence — the reference's -w / find_max_width mode. The
+    facts dict is memoized per (session, sf_dir): the kernel is the
+    gate's most expensive computation (~1 min at sf0.01) and the
+    *_golden companion would otherwise run it twice."""
     from sheep_spark import graph, jxn
 
-    edges, verts = _graph(spark, sf_dir)
-    _, f = jxn.build_jxn_tree(graph.edges_pos(edges, verts), verts.count())
+    key = (id(spark), sf_dir)
+    if key not in _TW_FACTS_CACHE:
+        edges, verts = _graph(spark, sf_dir)
+        _, f = jxn.build_jxn_tree(graph.edges_pos(edges, verts), verts.count())
+        _TW_FACTS_CACHE[key] = f
+    f = _TW_FACTS_CACHE[key]
     cols = ["vert_cnt", "edge_cnt", "width", "fill", "vert_height", "edge_height", "root_cnt"]
     return spark.createDataFrame(
         [tuple(int(f[c]) for c in cols)], ", ".join(f"{c} long" for c in cols)
