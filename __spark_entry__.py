@@ -280,9 +280,8 @@ _TW_FACTS_CACHE: dict = {}
 def q_tree_width_facts(spark, sf_dir):
     """T2/T6 jxn machinery: fill-tree facts (width/fill/heights) of the
     degree sequence — the reference's -w / find_max_width mode. The
-    facts dict is memoized per (session, sf_dir): the kernel is the
-    gate's most expensive computation (~1 min at sf0.01) and the
-    *_golden companion would otherwise run it twice."""
+    facts dict is memoized per (session, sf_dir) so the *_golden
+    companion reuses it instead of re-running the kernel."""
     from sheep_spark import graph, jxn
 
     key = (id(spark), sf_dir)
