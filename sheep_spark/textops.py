@@ -197,15 +197,26 @@ def jaccard_pairs(documents: DataFrame, threshold: float = 0.5,
 
 def minhash_signatures(documents: DataFrame, k: int = MINHASH_K) -> DataFrame:
     """(doc_id, seed, minhash): k-permutation MinHash over word shingles;
-    permutation i = lexicographic order of md5(i || ' ' || token)."""
+    permutation i = lexicographic order of md5(i || ' ' || token).
+
+    Plan note (r4): ONE wide aggregation — k min() aggregates evaluated
+    per token row — then an unpivot back to the long layout, instead of
+    exploding every token k-fold before the groupBy. Identical values
+    (same md5 family, same per-seed min over the same distinct token
+    set); the shuffle carries one k-column row per doc instead of k
+    rows, and the token table is scanned once without the k× row blowup.
+    """
     toks = _doc_tokens(documents)
-    seeds = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("seed")
-    hashed = toks.select("doc_id", seeds, "tok").select(
+    aggs = [
+        F.min(F.md5(F.concat_ws(" ", F.lit(str(i)), F.col("tok")))).alias(f"m{i}")
+        for i in range(k)
+    ]
+    wide = toks.groupBy("doc_id").agg(*aggs)
+    stack_args = ", ".join(f"{i}, m{i}" for i in range(k))
+    return wide.select(
         "doc_id",
-        "seed",
-        F.md5(F.concat_ws(" ", F.col("seed").cast("string"), F.col("tok"))).alias("h"),
-    )
-    return hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("minhash"))
+        F.expr(f"stack({k}, {stack_args}) AS (seed, minhash)"),
+    ).select("doc_id", F.col("seed").cast("int").alias("seed"), "minhash")
 
 
 def minhash_lsh_pairs(
