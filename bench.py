@@ -177,6 +177,7 @@ def run_sf_suite(spark) -> dict:
     n_page_edges = p_edges.count()
     q["pages_extract_to_graph"] = time.time() - t0
     pages.unpersist()
+    _ids.unpersist()  # caller-owned url↔vid cache; unused here (ADVICE r4)
 
     return {
         "queries": {k: round(v, 3) for k, v in q.items()},

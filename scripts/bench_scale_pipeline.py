@@ -39,6 +39,9 @@ def main() -> None:
     # sandbox backs fresh pages at ~20 MB/s/thread, so cache/shuffle
     # growth otherwise bleeds page-fault sys-time into the first timed
     # stages. A long-lived production driver pays this once at startup.
+    # The heap default matches (ADVICE r4: -Xms12g with the 8g driver
+    # default aborted the JVM when launched standalone).
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
     os.environ.setdefault("SPARK_GRAFT_XMS_PRETOUCH", "12g")
     spark = get_spark("bench-pipeline", cores=CPUS, shuffle_partitions=2 * CPUS)
     spark.sparkContext.setLogLevel("ERROR")
@@ -181,6 +184,7 @@ def parity_main() -> None:
     from sheep_spark import graph, tree
     from sheep_spark.session import get_spark
 
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
     os.environ.setdefault("SPARK_GRAFT_XMS_PRETOUCH", "12g")
     spark = get_spark("bench-tree-parity", cores=CPUS, shuffle_partitions=2 * CPUS)
     spark.sparkContext.setLogLevel("ERROR")

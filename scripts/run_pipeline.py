@@ -64,7 +64,13 @@ def main() -> None:
     else:
         raw = gio.read_xs1(spark, args.input) if args.format == "xs1" else gio.read_snap(spark, args.input)
         edges = graph.symmetrize(raw)
+        _ids = None
     edges = edges.persist()
+    if _ids is not None:
+        # url<->vid map unused by this CLI; the edge table is eagerly
+        # checkpointed inside edges_from_pages, so the cache can go now
+        # (ADVICE r4: leaving it persisted leaked a V-sized block)
+        _ids.unpersist()
 
     verts = graph.vertices_from_edges(edges).persist()
     n_vertices = verts.count()

@@ -113,11 +113,12 @@ def decode_pnm(data: bytes) -> np.ndarray:
     # single whitespace after maxval, then raster — except Windows-written
     # files, whose header ends in \r\n: treat that pair as the separator
     # (otherwise the \n becomes pixel (0,0) and every pixel shifts by one).
-    # Disambiguated by LENGTH (ADVICE r3): a spec-legal file whose single
-    # separator is a bare '\r' with a first raster byte of 0x0A must NOT
-    # lose that byte — consume 2 only when exactly the raster remains
-    # after them; a 1-byte separator then leaves a surplus byte instead.
-    if data[pos : pos + 2] == b"\r\n" and len(data) - pos - 2 == need:
+    # Disambiguated by LENGTH: prefer the 2-byte consume whenever the
+    # raster still fits after it (surplus bytes are trailing junk —
+    # ADVICE r4: requiring an EXACT fit mis-shifted \r\n files with any
+    # trailing bytes); fall back to a bare-'\r' separator only when
+    # consuming 2 would truncate the raster (first raster byte is 0x0A).
+    if data[pos : pos + 2] == b"\r\n" and len(data) - pos - 2 >= need:
         pos += 2
     else:
         pos += 1

@@ -23,6 +23,15 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+def _mem_mib(size: str) -> float:
+    """JVM memory string ("8g", "512m", "1024k", plain bytes) → MiB."""
+    s = size.strip().lower()
+    units = {"t": 1024 * 1024, "g": 1024, "m": 1, "k": 1 / 1024}
+    if s and s[-1] in units:
+        return float(s[:-1]) * units[s[-1]]
+    return float(s) / (1024 * 1024)
+
+
 def get_spark(
     app_name: str = "sheep_spark",
     cores: int | None = None,
@@ -32,6 +41,7 @@ def get_spark(
     cores = cores or default_parallelism()
     shuffle_partitions = shuffle_partitions or max(cores, 8)
 
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cores}]")
@@ -44,21 +54,33 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", driver_mem)
         .config("spark.ui.enabled", "false")
     )
+    extra_conf = dict(extra_conf or {})
     # Opt-in heap pre-touch (SPARK_GRAFT_XMS_PRETOUCH=10g): commit+touch
     # that much heap at JVM launch. This sandbox backs fresh pages at
     # ~20 MB/s/thread (measured — a real host faults orders of magnitude
     # faster), so an untouched heap bleeds page-fault sys-time into the
     # first stages that grow it; pre-touching moves that one-time cost to
     # session startup, where a long-lived production driver pays it once.
+    # Clamped to the driver heap (-Xms > -Xmx aborts the JVM at launch)
+    # and MERGED into any caller-supplied extraJavaOptions (ADVICE r4).
     pretouch = os.environ.get("SPARK_GRAFT_XMS_PRETOUCH")
     if pretouch:
-        builder = builder.config(
-            "spark.driver.extraJavaOptions", f"-Xms{pretouch} -XX:+AlwaysPreTouch"
-        )
-    for k, v in (extra_conf or {}).items():
+        if _mem_mib(pretouch) > _mem_mib(driver_mem):
+            import warnings
+
+            warnings.warn(
+                f"SPARK_GRAFT_XMS_PRETOUCH={pretouch} exceeds driver memory "
+                f"{driver_mem}; clamping -Xms to {driver_mem}",
+                stacklevel=2,
+            )
+            pretouch = driver_mem
+        flags = f"-Xms{pretouch} -XX:+AlwaysPreTouch"
+        caller = extra_conf.pop("spark.driver.extraJavaOptions", "")
+        extra_conf["spark.driver.extraJavaOptions"] = f"{flags} {caller}".strip()
+    for k, v in extra_conf.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     _ship_package(spark)

@@ -99,6 +99,14 @@ def test_pnm_windows_crlf_header():
     want = np.repeat(px[:, :, None], 3, 2)
     assert (multimodal.decode_image(unix) == want).all()
     assert (multimodal.decode_image(win) == want).all()
+    # trailing junk after the raster must not flip the separator back to
+    # 1 byte (ADVICE r4: the exact-fit rule shifted such files by one)
+    assert (multimodal.decode_image(win + b"\n trailing junk") == want).all()
+    # bare-\r separator whose first raster byte is 0x0A still decodes:
+    # consuming 2 would truncate, so the fallback takes 1
+    cr = np.array([[10, 88], [99, 111]], dtype=np.uint8)
+    bare = b"P5\n2 2\n255\r" + cr.tobytes()
+    assert (multimodal.decode_image(bare) == np.repeat(cr[:, :, None], 3, 2)).all()
 
 
 def test_decoder_rejects_garbage_and_names_real_codecs():
