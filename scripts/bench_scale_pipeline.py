@@ -86,45 +86,50 @@ def main() -> None:
     edges = graph.doubled_view(canon)
     n_directed = 2 * n_undirected
 
+    # FUSED rank-0 funnel (r5, VERDICT r4 task 3): one Arrow collect of
+    # the cached canonical half replaces the degree groupBy shuffle over
+    # 2E rows, the edges_pos vid→pos join, and the tree builder's
+    # separate (lo, hi) collect. The sequence artifact (verts DF) is
+    # still materialized inside the stage, so the wall stays comparable
+    # with the staged pipeline it replaces.
     t0 = time.time()
-    verts = graph.vertices_from_edges(edges).persist()
-    n_vertices = verts.count()
+    seq_t: dict = {}
+    arrs = graph.driver_sequence_arrays(canon, timings=seq_t)
+    n_vertices = len(arrs["vid"])
+    verts = graph.vertices_df_from_arrays(
+        spark, arrs["vid"], arrs["degree"], arrs["pos"]
+    ).persist()
+    verts.count()
     stages["degree_sequence"] = time.time() - t0
-
-    # epos stays LAZY: the driver tree strategy scans it exactly once
-    # (the arrow collect), so a persist+count here would materialize the
-    # same 35M rows twice — ~10 s of pure double-write (r4). The stage
-    # cost now shows up inside tree_build_collect.
-    t0 = time.time()
-    epos = graph.edges_pos(edges, verts, n_vertices=n_vertices, once=canon)
-    stages["edges_pos"] = time.time() - t0
+    stages["degree_collect"] = seq_t.get("collect_s", 0.0)
+    stages["degree_rank"] = seq_t.get("rank_s", 0.0)
+    stages["edges_pos"] = 0.0  # fused: pos-space edges fall out of the rank pass
 
     t0 = time.time()
     tree_t: dict = {}
-    t = tree.build_tree(epos, n_vertices, n_edges=n_undirected, timings=tree_t).persist()
+    arrays = tree.build_tree_arrays(arrs["lo"], arrs["hi"], n_vertices, timings=tree_t)
+    t = tree.tree_df_from_arrays(spark, arrays).persist()
     t.count()
     stages["tree_build"] = time.time() - t0
-    stages["tree_build_collect"] = tree_t.get("collect_s", 0.0)
+    stages["tree_build_collect"] = 0.0  # fused into degree_collect
     stages["tree_build_kernel"] = tree_t.get("kernel_s", 0.0)
 
-
     parts_meta = {}
-    t0 = time.time()
-    parent, weight = partitioner.tree_to_arrays(t)
-    stages["tree_collect"] = time.time() - t0
+    stages["tree_collect"] = 0.0  # parent/weight arrays never left the driver
     for k in KS:
         t0 = time.time()
-        parts, _ = partitioner.forward_partition(parent, weight, k)
+        parts, _ = partitioner.forward_partition(arrays["parent"], arrays["pst_weight"], k)
         stages[f"ffd_pack_k{k}"] = time.time() - t0
         parts_meta[k] = parts
 
-    # evaluate at k=8 (the headline quality config)
+    # evaluate at k=8 (the headline quality config). vmeta comes straight
+    # from the driver arrays (pos→part gather + one Arrow upload) — the
+    # r4 form joined two V-sized tables (4M ⋈ 4M, 18.4 s) to recombine
+    # data the driver already held.
     t0 = time.time()
-    assign = partitioner.assign_df(spark, parts_meta[8])
-    # plain join: both sides are V-sized (4M ⋈ 4M) — forcing a broadcast
-    # of an equal-size side only adds a driver collect + hash build;
-    # AQE picks the strategy from real stats
-    vmeta = verts.select("vid", "pos").join(assign, "pos").persist()
+    vmeta = partitioner.vertex_meta_from_arrays(
+        spark, arrs["vid"], arrs["pos"], parts_meta[8]
+    ).persist()
     vmeta.count()
     stages["assign_join"] = time.time() - t0
 

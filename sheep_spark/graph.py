@@ -169,6 +169,75 @@ def vertices_from_edges(edges_sym: DataFrame,
         deg.unpersist()
 
 
+def driver_sequence_arrays(canon: DataFrame, timings: dict | None = None,
+                           dense_vid_limit: int = 500_000_000) -> dict:
+    """Fused rank-0 funnel over the canonical half: ONE Arrow collect →
+    degrees, sequence pos, and pos-space edges as numpy arrays.
+
+    Replaces three separate jobs of the staged pipeline — the degree
+    ``groupBy`` shuffle over the doubled view (2E rows), the
+    edges_pos vid→pos join, and the tree builder's (lo, hi) collect —
+    with a single E/2-row collect plus vectorized driver passes
+    (bincount/lexsort/gather). Semantics identical: degree = #distinct
+    neighbors, pos = rank under (degree asc, vid asc) (sequence.h:52-63),
+    (lo, hi) = sorted endpoint positions per undirected edge.
+
+    This is the same centralization sheep's rank 0 performs for its
+    sequence + tree phases, and shares the driver funnel's envelope:
+    callers gate on DRIVER_TREE_MAX_EDGES and use the distributed
+    ``vertices_from_edges``/``edges_pos`` path beyond it.
+
+    Returns dict(vid, degree, pos, lo, hi) of int64 arrays; vid/degree/
+    pos are vertex-indexed (degree-sequence order NOT applied — vid
+    ascending), lo/hi are per-undirected-edge.
+    """
+    import time
+
+    import numpy as np
+
+    from .tree import collect_int64_columns
+
+    src, dst = collect_int64_columns(canon, ("src", "dst"), timings)
+    t0 = time.monotonic()
+    m = int(max(src.max(), dst.max())) + 1 if len(src) else 0
+    if len(src) and src.min() >= 0 and dst.min() >= 0 and m <= dense_vid_limit:
+        # dense-id fast path: O(E + max_vid) bincounts, no sort of the
+        # 2E concatenation
+        deg_full = np.bincount(src, minlength=m) + np.bincount(dst, minlength=m)
+        vid = np.flatnonzero(deg_full)
+        degree = deg_full[vid].astype(np.int64)
+        n = len(vid)
+        order = np.lexsort((vid, degree))  # primary: degree, tie: vid
+        pos = np.empty(n, dtype=np.int64)
+        pos[order] = np.arange(n, dtype=np.int64)
+        pos_full = np.empty(m, dtype=np.int64)
+        pos_full[vid] = pos
+        ps, pd_ = pos_full[src], pos_full[dst]
+    else:  # sparse/negative ids: relabel through a sorted unique table
+        vid = np.unique(np.concatenate([src, dst]))
+        n = len(vid)
+        si = np.searchsorted(vid, src)
+        di = np.searchsorted(vid, dst)
+        degree = (np.bincount(si, minlength=n) + np.bincount(di, minlength=n)).astype(np.int64)
+        order = np.lexsort((vid, degree))
+        pos = np.empty(n, dtype=np.int64)
+        pos[order] = np.arange(n, dtype=np.int64)
+        ps, pd_ = pos[si], pos[di]
+    lo = np.minimum(ps, pd_)
+    hi = np.maximum(ps, pd_)
+    if timings is not None:
+        timings["rank_s"] = round(time.monotonic() - t0, 2)
+    return {"vid": vid, "degree": degree, "pos": pos, "lo": lo, "hi": hi}
+
+
+def vertices_df_from_arrays(spark: SparkSession, vid, degree, pos) -> DataFrame:
+    """``vertices(vid, degree, pos)`` DataFrame from driver arrays (one
+    Arrow upload) — schema-identical to ``vertices_from_edges``."""
+    import pandas as pd
+
+    return spark.createDataFrame(pd.DataFrame({"vid": vid, "degree": degree, "pos": pos}))
+
+
 def edges_pos(edges_sym: DataFrame, vertices: DataFrame,
               n_vertices: int | None = None,
               once: DataFrame | None = None) -> DataFrame:

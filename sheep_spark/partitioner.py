@@ -371,6 +371,24 @@ def vertex_meta(vertices: DataFrame, assign: DataFrame) -> DataFrame:
     return vertices.select("vid", "pos").join(assign, "vid")
 
 
+def vertex_meta_from_arrays(spark: SparkSession, vid: np.ndarray, pos: np.ndarray,
+                            parts: np.ndarray) -> DataFrame:
+    """vmeta(vid, pos, part) built on the driver from the fused funnel's
+    arrays (``parts`` is jnid-indexed): one gather + one Arrow upload,
+    replacing the V⋈V assign join when the partition was packed on the
+    driver anyway. Schema/contents identical to ``vertex_meta``."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "vid": np.asarray(vid, dtype=np.int64),
+            "pos": np.asarray(pos, dtype=np.int64),
+            "part": np.asarray(parts, dtype=np.int32)[pos],
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
 def down_assign(edges_sym: DataFrame, vmeta: DataFrame, broadcast_meta: bool = True) -> DataFrame:
     """``edge_parts(src, dst, part)`` — each undirected edge exactly once
     (src < dst by vid, partition.cpp:615-617), owned by the part of its

@@ -59,3 +59,62 @@ def test_degree_sequence_driver_and_distributed_agree(spark):
     a = graph.vertices_from_edges(sym)  # n << cap → driver path
     b = graph.vertices_from_edges(sym, driver_rank_max=0)  # force distributed
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_fused_driver_funnel_matches_staged_path(spark):
+    """driver_sequence_arrays (one collect + numpy) must reproduce the
+    staged vertices_from_edges + edges_pos + build_tree pipeline exactly
+    — vertices, pos-space edges, tree, and vmeta alike. Exercised on
+    both the dense-vid fast path and the sparse relabel path."""
+    import numpy as np
+
+    from sheep_spark import graph, partitioner, tree
+    from tests.conftest import random_graph
+
+    base = random_graph(500, 2000, seed=77)
+    for shift, label in ((0, "dense"), (10**12, "sparse")):
+        edges = [(a + shift, b + shift) for a, b in base]
+        raw = spark.createDataFrame(edges, "src long, dst long")
+        canon = graph.symmetrize_canonical(raw).persist()
+        sym = graph.doubled_view(canon)
+
+        # staged path
+        verts = graph.vertices_from_edges(sym).persist()
+        n = verts.count()
+        staged_epos = sorted(
+            (r["lo"], r["hi"]) for r in graph.edges_pos(sym, verts).collect()
+        )
+        t_staged = tree.build_tree(
+            graph.edges_pos(sym, verts), n, strategy="driver"
+        )
+
+        # fused path (force the sparse branch via dense_vid_limit=1)
+        arrs = graph.driver_sequence_arrays(
+            canon, dense_vid_limit=1 if label == "sparse" else 500_000_000
+        )
+        assert len(arrs["vid"]) == n
+        fused_verts = {
+            (int(v), int(d), int(p))
+            for v, d, p in zip(arrs["vid"], arrs["degree"], arrs["pos"])
+        }
+        staged_verts = {
+            (r["vid"], r["degree"], r["pos"]) for r in verts.collect()
+        }
+        assert fused_verts == staged_verts, label
+        assert sorted(zip(arrs["lo"].tolist(), arrs["hi"].tolist())) == staged_epos, label
+
+        arrays = tree.build_tree_arrays(arrs["lo"], arrs["hi"], n)
+        fused_t = tree.tree_df_from_arrays(spark, arrays)
+        assert fused_t.exceptAll(t_staged).unionAll(t_staged.exceptAll(fused_t)).count() == 0, label
+
+        parts, _ = partitioner.forward_partition(arrays["parent"], arrays["pst_weight"], 4)
+        vmeta_arr = partitioner.vertex_meta_from_arrays(
+            spark, arrs["vid"], arrs["pos"], parts
+        )
+        vmeta_join = partitioner.vertex_meta(verts, partitioner.assign_df(spark, parts).join(
+            verts.select("vid", "pos"), "pos").select("vid", "part"))
+        a = {(r["vid"], r["pos"], r["part"]) for r in vmeta_arr.collect()}
+        b = {(r["vid"], r["pos"], r["part"]) for r in vmeta_join.collect()}
+        assert a == b, label
+        canon.unpersist()
+        verts.unpersist()

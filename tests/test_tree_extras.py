@@ -108,3 +108,68 @@ def test_driver_and_mapreduce_strategies_identical(spark):
     ra = sorted(tuple(r) for r in a.collect())
     rb = sorted(tuple(r) for r in b.collect())
     assert ra == rb
+
+
+def test_tree_heights_pointer_doubling_matches_sequential_sweep():
+    """tree_heights (vectorized pointer doubling) vs an independent
+    re-implementation of the reference's ascending cascade, on chains,
+    stars, and random forests (including deep ones)."""
+    import random
+
+    import numpy as np
+
+    from sheep_spark.tree import tree_heights
+
+    def sweep(parent, pst):
+        n = len(parent)
+        vh = [1] * n
+        eh = list(pst)
+        vmax = emax = 0
+        for j in range(n):
+            p = parent[j]
+            if p >= 0:
+                vh[p] = max(vh[p], vh[j] + 1)
+                eh[p] = max(eh[p], eh[j] + pst[p])
+            else:
+                vmax = max(vmax, vh[j])
+                emax = max(emax, eh[j])
+        return vmax, emax
+
+    cases = []
+    # chain 0->1->...->n-1 (depth = n; the worst case for round-limited schemes)
+    n = 1000
+    cases.append(([j + 1 for j in range(n - 1)] + [-1], [1] * n))
+    # star: everyone -> root n-1
+    cases.append(([n - 1] * (n - 1) + [-1], list(range(n))))
+    # empty
+    cases.append(([], []))
+    # random forests with parent > j (jnid-topological, like real trees)
+    rng = random.Random(5)
+    for seed in range(3):
+        par = [rng.randrange(j + 1, n) if rng.random() < 0.9 and j < n - 1 else -1
+               for j in range(n)]
+        pst = [rng.randrange(0, 7) for _ in range(n)]
+        cases.append((par, pst))
+    for par, pst in cases:
+        got = tree_heights(np.asarray(par, np.int64), np.asarray(pst, np.int64))
+        assert got == sweep(par, pst)
+
+
+def test_jxn_memory_limit_guard_dense_graph():
+    """A dense graph must abort with MemoryError under a small jxn
+    budget instead of silently growing driver state (jtree.h
+    memory_limit analogue), and succeed when the budget fits."""
+    import numpy as np
+    import pytest
+
+    from sheep_spark.jxn import jxn_kernel
+
+    # K40: jxn sets peak at Σ|jxn| ~ width * live-roots
+    n = 40
+    pairs = [(a, b) for a in range(n) for b in range(a + 1, n)]
+    lo = np.array([p[0] for p in pairs], np.int64)
+    hi = np.array([p[1] for p in pairs], np.int64)
+    with pytest.raises(MemoryError, match="memory_limit"):
+        jxn_kernel(lo, hi, n, memory_limit=20)
+    _, _, _, width, facts = jxn_kernel(lo, hi, n, memory_limit=10_000)
+    assert facts["width"] == n  # clique treewidth bound: bag = n
