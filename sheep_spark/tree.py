@@ -103,16 +103,22 @@ def _msf_select(lo: np.ndarray, hi: np.ndarray, n_vertices: int) -> tuple[np.nda
     # for each is (component-max, hi) regardless of order — asserted by
     # test_msf_select_preserves_sweep_output), so prefer a VALUE sort of
     # the packed (hi, lo) key — ~4× faster than a stable argsort at 35M.
+    # Below 2^31 vertices every round array drops to int32 (r5): the
+    # selection is memory-bandwidth-bound, so halving element width
+    # halves the traffic of the gathers/scatters that dominate it.
     if n_vertices < 2**31:
+        idt = np.int32
         packed = np.sort((hi.astype(np.int64) << 31) | lo.astype(np.int64))
-        cur_hi = packed >> 31
-        cur_lo = packed & ((1 << 31) - 1)
+        cur_hi = (packed >> 31).astype(np.int32)
+        cur_lo = (packed & ((1 << 31) - 1)).astype(np.int32)
+        del packed
     else:
+        idt = np.int64
         order0 = np.argsort(hi, kind="stable")
         cur_lo = lo[order0]
         cur_hi = hi[order0]
 
-    label = np.arange(n_vertices, dtype=np.int64)
+    label = np.arange(n_vertices, dtype=idt)
     sel_lo: list[np.ndarray] = []
     sel_hi: list[np.ndarray] = []
     prev_len = None
@@ -141,7 +147,7 @@ def _msf_select(lo: np.ndarray, hi: np.ndarray, n_vertices: int) -> tuple[np.nda
             # #component-pairs and makes the early exit measure true
             # progress.
             if n_vertices < 3_000_000_000:  # pair key fits int64
-                pk = np.minimum(a, b) * n_vertices + np.maximum(a, b)
+                pk = np.minimum(a, b).astype(np.int64) * n_vertices + np.maximum(a, b)
                 first_pair = ~pd.Series(pk).duplicated().to_numpy()
                 if not first_pair.all():
                     cur_lo, cur_hi = cur_lo[first_pair], cur_hi[first_pair]
@@ -164,12 +170,12 @@ def _msf_select(lo: np.ndarray, hi: np.ndarray, n_vertices: int) -> tuple[np.nda
         # direct-address scatter (reverse order → first write wins) beats
         # a hash pass ~5× when the round is big; small rounds use the
         # hash to avoid the O(V) table fill.
-        comps2 = np.empty(2 * n_e, dtype=np.int64)
+        comps2 = np.empty(2 * n_e, dtype=idt)
         comps2[0::2] = a
         comps2[1::2] = b
         if 8 * n_e >= n_vertices:
-            idx = np.arange(2 * n_e, dtype=np.int64)
-            firstslot = np.full(n_vertices, -1, dtype=np.int64)
+            idx = np.arange(2 * n_e, dtype=idt if 2 * n_e < 2**31 else np.int64)
+            firstslot = np.full(n_vertices, -1, dtype=idx.dtype)
             firstslot[comps2[::-1]] = idx[::-1]  # repeated idx: last write (= first slot) wins
             slots = np.flatnonzero(firstslot[comps2] == idx)
         else:
@@ -183,7 +189,7 @@ def _msf_select(lo: np.ndarray, hi: np.ndarray, n_vertices: int) -> tuple[np.nda
         # hook c → o; weights are made distinct by the input-order
         # tie-break, so hook cycles have length exactly 2 — break them,
         # then contract by pointer jumping.
-        p = np.arange(n_vertices, dtype=np.int64)
+        p = np.arange(n_vertices, dtype=idt)
         p[c] = o
         mutual = (p[p[c]] == c) & (c < p[c])
         p[c[mutual]] = c[mutual]
