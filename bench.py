@@ -677,7 +677,10 @@ def main() -> None:
     # ---- block 4: full-size tree parity (most expendable: identity is
     # pytest-covered at small scale every round; this leg re-proves the
     # full-size ratio and only fits generously-budgeted runs) ----
-    parity_min = float(os.environ.get("SPARK_GRAFT_PARITY_MIN_REMAINING_S", "1500"))
+    # 1200 s comfortably covers a typical parity leg (~700 s), and its
+    # subprocess timeout is clamped to the remaining budget anyway — a
+    # slow window kills just that leg, never the artifact
+    parity_min = float(os.environ.get("SPARK_GRAFT_PARITY_MIN_REMAINING_S", "1200"))
     if os.environ.get("SPARK_GRAFT_SKIP_PARITY") == "1":
         result["skips"]["tree_parity"] = "env"
     elif remaining() < parity_min:
