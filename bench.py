@@ -483,11 +483,19 @@ def run_scaling(remaining=None, emit=None) -> dict:
                 break  # budget: downstream legs matter more than round 3+
         t_round = time.time()
         rnd: dict = {}
-        for name, cores in (("low", SCALE_LOW), ("high", SCALE_HIGH)):
-            res = run_level(name, cores)
-            rnd[name] = res
-            if name not in out or res["superstep_median_s"] < out[name]["superstep_median_s"]:
-                out[name] = res
+        try:
+            for name, cores in (("low", SCALE_LOW), ("high", SCALE_HIGH)):
+                res = run_level(name, cores)
+                rnd[name] = res
+                if name not in out or res["superstep_median_s"] < out[name]["superstep_median_s"]:
+                    out[name] = res
+        except Exception:
+            # a dead/timed-out leg ends the BLOCK, not the bench: completed
+            # rounds still make a valid (partial) scaling artifact. With no
+            # completed round the caller's guard records the error instead.
+            if rounds:
+                break
+            raise
         rnd_ceiling = host_ceiling()
         eff_r = round(
             (rnd["low"]["superstep_median_s"] / rnd["high"]["superstep_median_s"])
@@ -511,7 +519,7 @@ def run_scaling(remaining=None, emit=None) -> dict:
         round_walls.append(time.time() - t_round)
         if emit is not None:
             emit(_assemble(partial=len(rounds) < max_rounds))
-    return _assemble(partial=False)
+    return _assemble(partial=len(rounds) < min_rounds)
 
 
 _PROTOCOL = (
@@ -652,9 +660,12 @@ def main() -> None:
             result["leg_secs"]["scaling"] = round(time.time() - t0, 1)
             emit()
 
-        scaling = run_scaling(remaining=remaining, emit=_on_round)
-        result["scaling"] = scaling
-        result["value"] = scaling["high"]["edges_per_sec_per_superstep"]
+        try:
+            scaling = run_scaling(remaining=remaining, emit=_on_round)
+            result["scaling"] = scaling
+            result["value"] = scaling["high"]["edges_per_sec_per_superstep"]
+        except Exception as e:  # zero completed rounds — record, keep going
+            result["skips"]["scaling"] = f"error: {type(e).__name__}: {e}"[:300]
         result["leg_secs"]["scaling"] = round(time.time() - t0, 1)
         emit()
     else:
