@@ -61,6 +61,9 @@ SCALE_EDGES = int(os.environ.get("SPARK_GRAFT_SCALE_EDGES", str(48_000_000)))
 # real combine ratio, so the superstep is compute-bound — the regime a
 # 1000-executor cluster is actually in
 SCALE_V = int(os.environ.get("SPARK_GRAFT_SCALE_V", str(SCALE_EDGES // 240)))
+# com-lj-shaped pipeline leg input (must match bench_scale_pipeline.py)
+PIPE_EDGES = int(os.environ.get("SPARK_GRAFT_PIPE_EDGES", str(35_000_000)))
+PIPE_V = int(os.environ.get("SPARK_GRAFT_PIPE_V", str(4_000_000)))
 PR_BENCH_ITERS = 5
 
 
@@ -198,14 +201,17 @@ SCALE_LOW = int(os.environ.get("SPARK_GRAFT_SCALE_LOW", "2"))
 SCALE_HIGH = int(os.environ.get("SPARK_GRAFT_SCALE_HIGH", str(4 * SCALE_LOW)))
 
 
-def prepare_scale_input() -> str | None:
-    """Generate the scaling graph ONCE at full width and share it with
-    both legs as parquet (canonical half). Setup, not measurement: the
-    r4 legs each re-ran synth+distinct under their own quota, charging
-    the 2-core leg ~minutes of untimed generation wall that the budget
-    (r5) can no longer afford. Reading identical parquet bytes is also
-    the cleaner protocol — the legs now differ ONLY in cores."""
-    path = f"/tmp/sheep_bench_scale_edges_{SCALE_EDGES}_{SCALE_V}.parquet"
+def prepare_canonical_parquet(n_edges: int, n_vertices: int) -> str | None:
+    """Generate a deterministic synthetic graph ONCE at full width and
+    cache its canonical (deduplicated, lo<hi) half as parquet. Setup,
+    not measurement, twice over: (a) legs under different quotas stop
+    re-running untimed generation wall (r5 scaling protocol — both legs
+    read the same bytes and differ ONLY in cores); (b) the reference's
+    datascale numbers time the load of an ALREADY-SIMPLE edge list from
+    disk (com-lj.dat is a pre-converted simple graph — there is no
+    synthesis or dedup exchange inside its 6.19 s), so comparable legs
+    here read this pre-simplified parquet inside their measured span."""
+    path = f"/tmp/sheep_bench_scale_edges_{n_edges}_{n_vertices}.parquet"
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
     try:
@@ -214,13 +220,17 @@ def prepare_scale_input() -> str | None:
 
         spark = get_spark("bench-scale-gen", cores=CPUS, shuffle_partitions=max(CPUS, 16))
         spark.sparkContext.setLogLevel("ERROR")
-        graph.symmetrize_canonical(synth_edges_raw(spark, SCALE_EDGES, SCALE_V)).write.mode(
+        graph.symmetrize_canonical(synth_edges_raw(spark, n_edges, n_vertices)).write.mode(
             "overwrite"
         ).parquet(path)
         spark.stop()
         return path
     except Exception:
         return None
+
+
+def prepare_scale_input() -> str | None:
+    return prepare_canonical_parquet(SCALE_EDGES, SCALE_V)
 
 
 def scale_worker(cores: int) -> None:
@@ -678,6 +688,12 @@ def main() -> None:
         result["skips"]["pipeline_scale"] = f"budget ({int(remaining())}s left)"
     else:
         t0 = time.time()
+        # input prep at full width, un-quota'd, cached across rounds in
+        # /tmp (see prepare_canonical_parquet: the reference's datascale
+        # span also starts at an on-disk pre-simplified edge list)
+        pipe_path = prepare_canonical_parquet(PIPE_EDGES, PIPE_V)
+        if pipe_path:
+            os.environ["SPARK_GRAFT_PIPE_EDGES_PATH"] = pipe_path
         fast = remaining() < 700  # shed the duplicate full-evaluator leg
         result["pipeline_scale"] = run_pipeline_scale(
             timeout=min(2400.0, max(180.0, remaining() - 60.0)), fast=fast
@@ -698,6 +714,9 @@ def main() -> None:
         result["skips"]["tree_parity"] = f"budget ({int(remaining())}s left)"
     else:
         t0 = time.time()
+        pipe_path = prepare_canonical_parquet(PIPE_EDGES, PIPE_V)  # cached
+        if pipe_path:
+            os.environ["SPARK_GRAFT_PIPE_EDGES_PATH"] = pipe_path
         result["tree_parity"] = run_tree_parity(
             timeout=min(2400.0, max(180.0, remaining() - 60.0))
         )
