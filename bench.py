@@ -549,6 +549,26 @@ _PROTOCOL = (
 )
 
 
+def host_mem_probe(cores: int = 8, dur: float = 30) -> float | None:
+    """Adjacent host memory-stream rate (sweeps/s/core) under the same
+    quota a leg gets — the context field for any wall-clock number: this
+    box's stream bandwidth fluctuates ~2x between multi-minute windows
+    (healthy ≈44, degraded ≈17 measured), and the pipeline's collect-
+    bound stages track it almost linearly."""
+    import subprocess
+
+    cmd = [sys.executable, os.path.abspath(__file__), "--cpu-probe", str(cores), str(dur)]
+    cg = _cgroup_setup("probe", cores)
+    if cg is not None:
+        cmd = ["bash", "-c", f'echo $$ > {cg}/cgroup.procs && exec "$@"', "bench", *cmd]
+    try:
+        proc = subprocess.run(cmd, capture_output=True, text=True, timeout=dur * 3 + 60)
+        line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+        return json.loads(line)["mem_per_core"]
+    except Exception:
+        return None
+
+
 def _run_quota_subprocess(name: str, env_extra: dict, timeout: float) -> dict:
     """scripts/bench_scale_pipeline.py in its own quota'd process →
     parsed JSON line. Same cgroup-quota protocol as run_scaling: the
@@ -586,14 +606,22 @@ def run_pipeline_scale(timeout: float = 2400, fast: bool = False) -> dict | None
     evaluator repeat (the subset evaluator still runs) under budget
     pressure. Skippable via SPARK_GRAFT_SKIP_PIPELINE=1."""
     extra = {"SPARK_GRAFT_PIPE_FAST": "1"} if fast else {}
-    return _run_quota_subprocess("pipeline", extra, timeout)
+    probe = host_mem_probe()
+    res = _run_quota_subprocess("pipeline", extra, timeout)
+    if isinstance(res, dict):
+        res["host_mem_per_core"] = probe
+    return res
 
 
 def run_tree_parity(timeout: float = 2400) -> dict | None:
     """Full-size driver-vs-mapreduce tree parity in its own quota'd
     process (see bench_scale_pipeline.parity_main for why it is
     isolated and full-size). Skippable via SPARK_GRAFT_SKIP_PARITY=1."""
-    return _run_quota_subprocess("parity", {"SPARK_GRAFT_PIPE_PARITY_ONLY": "1"}, timeout)
+    probe = host_mem_probe()
+    res = _run_quota_subprocess("parity", {"SPARK_GRAFT_PIPE_PARITY_ONLY": "1"}, timeout)
+    if isinstance(res, dict):
+        res["host_mem_per_core"] = probe
+    return res
 
 
 def main() -> None:

@@ -170,7 +170,8 @@ def vertices_from_edges(edges_sym: DataFrame,
 
 
 def driver_sequence_arrays(canon: DataFrame, timings: dict | None = None,
-                           dense_vid_limit: int = 500_000_000) -> dict:
+                           dense_vid_limit: int = 500_000_000,
+                           ids_fit_int32: bool = False) -> dict:
     """Fused rank-0 funnel over the canonical half: ONE Arrow collect →
     degrees, sequence pos, and pos-space edges as numpy arrays.
 
@@ -190,6 +191,13 @@ def driver_sequence_arrays(canon: DataFrame, timings: dict | None = None,
     Returns dict(vid, degree, pos, lo, hi) of int64 arrays; vid/degree/
     pos are vertex-indexed (degree-sequence order NOT applied — vid
     ascending), lo/hi are per-undirected-edge.
+
+    ``ids_fit_int32``: caller guarantees 0 <= id < 2^31 for every
+    endpoint; the collect then casts JVM-side and ships half the bytes
+    (the funnel collect is memory-bandwidth-bound — measured 37-59 s
+    for 35M int64 pairs in degraded host windows). The collector widens
+    back to int64 on arrival, so results are bit-identical (asserted by
+    test_fused_driver_funnel_int32_transfer).
     """
     import time
 
@@ -197,6 +205,12 @@ def driver_sequence_arrays(canon: DataFrame, timings: dict | None = None,
 
     from .tree import collect_int64_columns
 
+    if ids_fit_int32:
+        from pyspark.sql import functions as F
+
+        canon = canon.select(
+            F.col("src").cast("int").alias("src"), F.col("dst").cast("int").alias("dst")
+        )
     src, dst = collect_int64_columns(canon, ("src", "dst"), timings)
     t0 = time.monotonic()
     m = int(max(src.max(), dst.max())) + 1 if len(src) else 0

@@ -118,3 +118,22 @@ def test_fused_driver_funnel_matches_staged_path(spark):
         assert a == b, label
         canon.unpersist()
         verts.unpersist()
+
+
+def test_fused_driver_funnel_int32_transfer(spark):
+    """ids_fit_int32=True casts the funnel collect to int JVM-side
+    (half the transfer bytes); every returned array must be
+    bit-identical to the default int64 path."""
+    import numpy as np
+
+    from sheep_spark import graph
+    from tests.conftest import edges_df, random_graph
+
+    canon = graph.symmetrize_canonical(
+        edges_df(spark, random_graph(400, 1500, seed=93))
+    ).persist()
+    a = graph.driver_sequence_arrays(canon)
+    b = graph.driver_sequence_arrays(canon, ids_fit_int32=True)
+    for k in ("vid", "degree", "pos", "lo", "hi"):
+        assert a[k].dtype == b[k].dtype == np.int64, k
+        assert np.array_equal(a[k], b[k]), k
