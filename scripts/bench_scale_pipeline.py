@@ -83,17 +83,23 @@ def main() -> None:
     # collect in degraded windows vs 1-4 s for the second, independent of
     # dtype. Same synthetic volume and (int,int) shape as the funnel's
     # real collect; a long-lived production driver pays this once at
-    # startup, not per job.
+    # startup, not per job. Run it THREE times: warming is gradual in
+    # degraded windows (interleaved A/B on this host: real collect 33 s
+    # after one warmup pass, 25 s after two, 5 s after three — the JVM's
+    # direct arenas and the driver pools grow across collects, each
+    # growth step paying the fault cost).
     from pyspark.sql import functions as F
 
     from sheep_spark.tree import collect_int64_columns
 
-    collect_int64_columns(
-        spark.range(EDGES).select(
-            F.col("id").cast("int").alias("src"), F.col("id").cast("int").alias("dst")
-        ),
-        ("src", "dst"),
-    )
+    for _ in range(3):
+        collect_int64_columns(
+            spark.range(EDGES).select(
+                F.col("id").cast("int").alias("src"),
+                F.col("id").cast("int").alias("dst"),
+            ),
+            ("src", "dst"),
+        )
 
     stages: dict[str, float] = {}
 
@@ -259,17 +265,19 @@ def parity_main() -> None:
     # warm the full-width Arrow transfer path (see main(): the first
     # full-size collect pays a 30-60 s buffer first-touch cost that
     # would otherwise land inside the driver build's measured wall and
-    # flatter the map/reduce ratio)
+    # flatter the map/reduce ratio; three passes, because warming is gradual —
+    # see main()'s A/B note)
     from pyspark.sql import functions as F
 
     from sheep_spark.tree import collect_int64_columns
 
-    collect_int64_columns(
-        spark.range(EDGES).select(
-            F.col("id").alias("src"), F.col("id").alias("dst")
-        ),
-        ("src", "dst"),
-    )
+    for _ in range(3):
+        collect_int64_columns(
+            spark.range(EDGES).select(
+                F.col("id").alias("src"), F.col("id").alias("dst")
+            ),
+            ("src", "dst"),
+        )
 
     path = os.environ.get("SPARK_GRAFT_PIPE_EDGES_PATH")
     if path and os.path.exists(os.path.join(path, "_SUCCESS")):
