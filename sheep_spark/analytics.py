@@ -26,10 +26,20 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _prepare_edges(edges_sym: DataFrame, n_partitions: int | None = None) -> DataFrame:
+def _prepare_edges(edges_sym: DataFrame, n_partitions: int | None = None) -> tuple[DataFrame, bool]:
+    """(edges, owned): ``owned`` is True when WE persisted the frame and
+    must unpersist it. A caller-persisted input is reused AS-IS (r6,
+    guide §2.4/§5): the old unconditional ``repartition(n, "src")`` +
+    ``persist`` re-shuffled and double-cached an edge table the caller
+    already cached — pure overhead when the per-superstep join
+    broadcasts the O(V) state side (every bench path), and the caller
+    owns the layout decision when it persisted the table itself."""
     spark = edges_sym.sparkSession
+    sl = edges_sym.storageLevel
+    if sl.useMemory or sl.useDisk:
+        return edges_sym, False
     n = n_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    return edges_sym.repartition(n, "src").persist()
+    return edges_sym.repartition(n, "src").persist(), True
 
 
 def pagerank(
@@ -46,7 +56,7 @@ def pagerank(
     superstep is durably written with metrics + lineage and the loop
     resumes from the newest complete superstep.
     """
-    edges = _prepare_edges(edges_sym)
+    edges, edges_owned = _prepare_edges(edges_sym)
     if vertices is not None and "degree" in vertices.columns:
         deg = vertices.select("vid", F.col("degree").cast("double").alias("deg"))
         n = deg.count()
@@ -72,11 +82,19 @@ def pagerank(
     base = (1.0 - damping) / n
     for it in range(start_iter, max_iter):
         t0 = time.time()
+        # contrib = rank/deg computed ONCE per vertex on the O(V) state
+        # side before the join (r6, guide §2.3): the joined edge rows
+        # carry one double instead of (rank, deg), and the per-edge
+        # division disappears — the summed VALUES are identical, so the
+        # result is unchanged.
+        contrib = state.select(
+            F.col("vid").alias("src"), (F.col("rank") / F.col("deg")).alias("contrib")
+        )
         new_state = (
-            edges.join(state.withColumnRenamed("vid", "src"), "src")
+            edges.join(contrib, "src")
             .groupBy(F.col("dst").alias("vid"))
             .agg(
-                (F.lit(base) + F.lit(damping) * F.sum(F.col("rank") / F.col("deg"))).alias("rank"),
+                (F.lit(base) + F.lit(damping) * F.sum("contrib")).alias("rank"),
                 F.count("*").cast("double").alias("deg"),
             )
             .select("vid", "deg", "rank")
@@ -103,7 +121,8 @@ def pagerank(
             checkpointer.save(it, state, {"l1_delta": float(l1)})
         if l1 < tol:
             break
-    edges.unpersist()
+    if edges_owned:
+        edges.unpersist()
     return state.select("vid", "rank"), info
 
 
@@ -160,7 +179,7 @@ def connected_components(
     labels as final (they previously got silently-wrong labels; ADVICE
     r1). Partial labels are still a function of vid (min-aggregated).
     """
-    edges = _prepare_edges(edges_sym)
+    edges, edges_owned = _prepare_edges(edges_sym)
     e = edges.where(F.col("src") > F.col("dst")).select("src", "dst")
     start_iter = 0
     if checkpointer is not None:
@@ -183,7 +202,9 @@ def connected_components(
     prev = stats(e)
     info = {"iterations": 0, "changed": prev[0], "converged": prev[0] == 0}
     for it in range(start_iter, max_iter):
-        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # lazy checkpoint: the stats() collect is the materializing
+        # action, so each round runs ONE job instead of two (r6)
+        e2 = _small_star(_large_star(e)).localCheckpoint(eager=False)
         cur = stats(e2)
         e_prev, e = e, e2
         info["iterations"] = it + 1
@@ -198,7 +219,8 @@ def connected_components(
             info["changed"] = 0  # fixpoint: the last round changed nothing
             break
         prev = cur
-    edges.unpersist()
+    if edges_owned:
+        edges.unpersist()
     if not info["converged"]:
         import warnings
 
@@ -227,7 +249,7 @@ def label_propagation(
     keeps its label when it has no neighbors. Fixed round count
     (deterministic, oracle-friendly) rather than oscillation detection.
     """
-    edges = _prepare_edges(edges_sym)
+    edges, edges_owned = _prepare_edges(edges_sym)
     labels = init or edges.select(F.col("src").alias("vid")).distinct().withColumn(
         "label", F.col("vid")
     )
@@ -255,7 +277,8 @@ def label_propagation(
         info["iterations"] = it + 1
         if checkpointer is not None:
             checkpointer.save(it, labels, {})
-    edges.unpersist()
+    if edges_owned:
+        edges.unpersist()
     return labels, info
 
 

@@ -171,12 +171,17 @@ def pagerank_csr(
             )
             .localCheckpoint(eager=True)
         )
-        l1 = (
-            new_state.select("vid", F.col("rank").alias("nr"))
-            .join(state.select("vid", "rank"), "vid")
-            .agg(F.sum(F.abs(F.col("nr") - F.col("rank"))).alias("d"))
-            .collect()[0]["d"]
-        )
+        if tol > 0.0:
+            l1 = (
+                new_state.select("vid", F.col("rank").alias("nr"))
+                .join(state.select("vid", "rank"), "vid")
+                .agg(F.sum(F.abs(F.col("nr") - F.col("rank"))).alias("d"))
+                .collect()[0]["d"]
+            )
+        else:  # fixed-iteration mode: skip the delta join, like
+            # analytics.pagerank (r6) — the eager localCheckpoint above
+            # already materialized the state
+            l1 = float("inf")
         state.unpersist()
         state = new_state.persist()
         info["iterations"] = it + 1

@@ -34,12 +34,14 @@ def _mult_hash(col, hash_fn: str):
     return F.pmod(col * F.lit(_HASH_CONSTS[hash_fn]), F.lit(2**32))
 
 
-def joined_edges(edges_sym: DataFrame, vmeta: DataFrame, broadcast_meta: bool = True) -> DataFrame:
+def joined_edges(edges_sym: DataFrame, vmeta: DataFrame, broadcast_meta: bool = True,
+                 n_vertices: int | None = None) -> DataFrame:
     """Symmetrized edges annotated with (pos, part) of both endpoints.
-    The broadcast hint is size-guarded (graph.maybe_broadcast)."""
+    The broadcast hint is size-guarded (graph.maybe_broadcast); pass
+    ``n_vertices`` to skip the guard's count job in hot paths."""
     from .graph import maybe_broadcast
 
-    v = maybe_broadcast(vmeta) if broadcast_meta else vmeta
+    v = maybe_broadcast(vmeta, n_rows=n_vertices) if broadcast_meta else vmeta
     a = v.select(F.col("vid").alias("src"), F.col("pos").alias("pos_a"), F.col("part").alias("part_a"))
     b = v.select(F.col("vid").alias("dst"), F.col("pos").alias("pos_b"), F.col("part").alias("part_b"))
     return edges_sym.join(a, "src").join(b, "dst")
@@ -95,18 +97,25 @@ def evaluate(edges_sym: DataFrame, vmeta: DataFrame, broadcast_meta: bool = True
     ecv_wanted = [m for m in ("vcom_vol", "ecv_down", "ecv_up", "ecv_hash") if m in requested]
     bal_wanted = [m for m in ("down_balance", "up_balance", "hash_balance", "vertex_balance")
                   if m in requested]
+    edge_bal = [m for m in bal_wanted if m != "vertex_balance"]
 
-    j = joined_edges(edges_sym, vmeta, broadcast_meta)
-
+    # ONE tiny O(V) job yields the part histogram → num_parts, the
+    # broadcast guard's row count, AND vertex_balance. The r5 form ran
+    # three separate jobs for these (maybe_broadcast count, max(part),
+    # and the vmeta leg of the _balances scan).
+    part_rows = vmeta.groupBy("part").agg(F.count("*").alias("c")).collect()
+    n_vertices = sum(int(r["c"]) for r in part_rows)
     if num_parts is None:
-        num_parts = int(vmeta.agg(F.max("part")).collect()[0][0] or 0) + 1
+        num_parts = max((int(r["part"]) for r in part_rows), default=-1) + 1
+
+    j = joined_edges(edges_sym, vmeta, broadcast_meta, n_vertices=n_vertices)
 
     out: dict = {}
     ecv: dict = {}
-    if num_parts <= 62 and not ecv_wanted:
-        # No per-vertex set metric requested (e.g. balances-only subset):
-        # the scalar counts need no groupBy at all — one flat agg over
-        # the edge-join, no E-sized shuffle (ADVICE r3).
+    if num_parts <= 62 and not ecv_wanted and not edge_bal:
+        # No per-vertex set metric and no edge balance requested: the
+        # scalar counts need no groupBy at all — one flat agg over the
+        # edge-join, no E-sized shuffle (ADVICE r3).
         row = j.agg(
             F.count("*").alias("n_directed"),
             F.sum(
@@ -117,18 +126,30 @@ def evaluate(edges_sym: DataFrame, vmeta: DataFrame, broadcast_meta: bool = True
         if "edges_cut" in requested:
             out["edges_cut"] = int(row["edges_cut"] or 0)
     elif num_parts <= 62:
-        # Job 1 — ONE pass over the edge-join: per src, bit_or each
-        # requested ownership rule's part into a long mask (integer
-        # shiftleft — no floating point), popcount at the end; the
-        # scalar counts ride along as plain sums. Map-side partials
-        # absorb hub skew (the group value is one long per rule
-        # regardless of degree).
+        # ONE pass over the edge-join (r6 — the r5 form ran a SECOND
+        # E-sized explode scan for the balances; guide §2.4): per
+        # (src, part), bit_or each requested ownership rule's part into
+        # a long mask (integer shiftleft — no floating point), popcount
+        # at the end; the scalar counts AND the per-rule ownership
+        # counts ride along as plain sums. Map-side partials absorb hub
+        # skew (the group value is a few longs regardless of degree).
+        # The per-vertex rows then re-group by part (V→K rows, a tiny
+        # second exchange inside the same job) and K rows are collected.
+        #
+        # Balance identities (exact, not approximations): a down/up-
+        # owned directed row's owner part IS part_a — the group key —
+        # because ownership picks the src endpoint exactly when the
+        # pos comparison favors it; and exactly one directed row of
+        # each undirected edge satisfies the strict hash-winner
+        # predicate below (ties broken toward the larger vid, exactly
+        # the rule the old canonical-row explode applied).
         mask_cols = {
             "vcom_a": F.expr("shiftleft(CAST(1 AS BIGINT), part_a)"),
             "vcom_b": F.expr("shiftleft(CAST(1 AS BIGINT), part_b)"),
         }
         sel = [
             "src",
+            F.col("part_a").alias("part"),
             ((F.col("src") < F.col("dst")) & (F.col("part_a") != F.col("part_b")))
             .cast("long").alias("cut"),
         ]
@@ -145,15 +166,34 @@ def evaluate(edges_sym: DataFrame, vmeta: DataFrame, broadcast_meta: bool = True
                 jj = jj.withColumn(f"{name}_p", owner)
                 sel.append(F.expr(f"shiftleft(CAST(1 AS BIGINT), {name}_p)").alias(f"m_{name}"))
                 aggs.append((F.bit_count(F.bit_or(f"m_{name}")) - 1).alias(key))
-        per_vertex = jj.select(*sel).groupBy("src").agg(*aggs)
+        if "down_balance" in edge_bal:
+            sel.append((F.col("pos_a") < F.col("pos_b")).cast("long").alias("own_down"))
+            aggs.append(F.sum("own_down").alias("n_down"))
+        if "up_balance" in edge_bal:
+            sel.append((F.col("pos_a") > F.col("pos_b")).cast("long").alias("own_up"))
+            aggs.append(F.sum("own_up").alias("n_up"))
+        if "hash_balance" in edge_bal:
+            h_src = _mult_hash(F.col("src"), hash_fn)
+            h_dst = _mult_hash(F.col("dst"), hash_fn)
+            sel.append(
+                ((h_src < h_dst) | ((h_src == h_dst) & (F.col("src") > F.col("dst"))))
+                .cast("long").alias("own_hash")
+            )
+            aggs.append(F.sum("own_hash").alias("n_hash"))
+        per_vertex = jj.select(*sel).groupBy("src", "part").agg(*aggs)
         final = [F.sum("n_directed").alias("n_directed"), F.sum("edges_cut").alias("edges_cut")]
         final += [F.sum(m).alias(m) for m in ecv_wanted]
-        row = per_vertex.agg(*final).collect()[0]
-        out["n_edges"] = int(row["n_directed"] or 0) // 2
+        bal_col = {"down_balance": "n_down", "up_balance": "n_up", "hash_balance": "n_hash"}
+        final += [F.sum(bal_col[m]).alias(bal_col[m]) for m in edge_bal]
+        rows = per_vertex.groupBy("part").agg(*final).collect()
+        out["n_edges"] = sum(int(r["n_directed"] or 0) for r in rows) // 2
         if "edges_cut" in requested:
-            out["edges_cut"] = int(row["edges_cut"] or 0)
+            out["edges_cut"] = sum(int(r["edges_cut"] or 0) for r in rows)
         for m in ecv_wanted:
-            ecv[m] = int(row[m] or 0)
+            ecv[m] = sum(int(r[m] or 0) for r in rows)
+        for m in edge_bal:
+            out[m] = max((int(r[bal_col[m]] or 0) for r in rows), default=0)
+        bal_wanted = [m for m in bal_wanted if m == "vertex_balance"]
     else:
         # >62 parts: cached join + metric-tagged union + two-stage
         # distinct (the persist pays when the same join feeds 5 scans)
@@ -198,9 +238,12 @@ def evaluate(edges_sym: DataFrame, vmeta: DataFrame, broadcast_meta: bool = True
         finally:
             j.unpersist()
 
-    # Job 2 — all requested per-part max loads in ONE scan: each edge row
-    # explodes into its (metric, owner-part) contributions, then a single
-    # two-stage (metric, part) count + per-metric max.
+    # vertex_balance falls out of the O(V) part histogram already
+    # collected above; only the >62-part fallback ever reaches
+    # _balances (it clears bal_wanted itself).
+    if "vertex_balance" in bal_wanted:
+        out["vertex_balance"] = max((int(r["c"]) for r in part_rows), default=0)
+        bal_wanted = [m for m in bal_wanted if m != "vertex_balance"]
     if bal_wanted:
         out.update(_balances(j, vmeta, owners, bal_wanted))
 

@@ -133,11 +133,24 @@ def lang_id(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id", "lang", guess.alias("lang_guess"))
 
 
+def _doc_token_array(documents: DataFrame):
+    """Per-row distinct word-shingle array (null-text rows excluded, as
+    ``explode`` of a null array produced no rows in the long form)."""
+    return documents.where(F.col("text").isNotNull()).withColumn(
+        "_toks", F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+    )
+
+
 def _doc_tokens(documents: DataFrame) -> DataFrame:
-    """(doc_id, tok) distinct word-shingles (unigram token sets)."""
-    return documents.select(
-        "doc_id", F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok")
-    ).distinct()
+    """(doc_id, tok) distinct word-shingles (unigram token sets).
+
+    Plan note (r6, guide §2.4): per-(doc, tok) dedup is LOCAL to a row —
+    ``array_distinct`` inside the row replaces the former row-level
+    ``distinct()``, so no exchange happens at all (the old plan shuffled
+    every token row just to dedup within its own document)."""
+    return _doc_token_array(documents).select(
+        "doc_id", F.explode("_toks").alias("tok")
+    )
 
 
 def _doc_char_shingles(documents: DataFrame, n: int) -> DataFrame:
@@ -151,7 +164,11 @@ def _doc_char_shingles(documents: DataFrame, n: int) -> DataFrame:
         F.length(t) >= n, F.sequence(F.lit(1), F.length(t) - (n - 1))
     ).otherwise(F.array().cast("array<int>"))
     shingles = F.transform(idx, lambda i: F.substring(t, i, F.lit(n)))
-    return documents.select("doc_id", F.explode(shingles).alias("tok")).distinct()
+    # per-(doc, tok) dedup is row-local: array_distinct instead of a
+    # row-level distinct() removes the exchange (guide §2.4), same rows
+    return documents.where(F.col("text").isNotNull()).select(
+        "doc_id", F.explode(F.array_distinct(shingles)).alias("tok")
+    )
 
 
 def jaccard_pairs(documents: DataFrame, threshold: float = 0.5,
@@ -195,23 +212,33 @@ def jaccard_pairs(documents: DataFrame, threshold: float = 0.5,
         toks.unpersist()
 
 
+def _minhash_wide(documents: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """(doc_id, m0..m{k-1}) wide signature row per doc, computed WITHOUT
+    any shuffle (r6, guide §2.4): the per-seed minimum over a document's
+    distinct tokens is a row-local ``array_min(transform(...))`` — the
+    former plan exploded tokens, shuffled them for a distinct, and
+    shuffled again for the groupBy aggregation. Values are identical:
+    the same md5(seed || ' ' || token) family, min over the same
+    per-document distinct token set. Docs with NULL text are excluded
+    (they had no token rows, hence no signature, in the long form)."""
+    with_arr = _doc_token_array(documents)
+    cols = [
+        F.array_min(
+            F.transform("_toks", lambda t: F.md5(F.concat_ws(" ", F.lit(str(i)), t)))
+        ).alias(f"m{i}")
+        for i in range(k)
+    ]
+    return with_arr.select("doc_id", *cols)
+
+
 def minhash_signatures(documents: DataFrame, k: int = MINHASH_K) -> DataFrame:
     """(doc_id, seed, minhash): k-permutation MinHash over word shingles;
     permutation i = lexicographic order of md5(i || ' ' || token).
 
-    Plan note (r4): ONE wide aggregation — k min() aggregates evaluated
-    per token row — then an unpivot back to the long layout, instead of
-    exploding every token k-fold before the groupBy. Identical values
-    (same md5 family, same per-seed min over the same distinct token
-    set); the shuffle carries one k-column row per doc instead of k
-    rows, and the token table is scanned once without the k× row blowup.
+    Long layout unpivoted from the shuffle-free wide form (_minhash_wide)
+    — the whole signature matrix is computed map-side, no exchange.
     """
-    toks = _doc_tokens(documents)
-    aggs = [
-        F.min(F.md5(F.concat_ws(" ", F.lit(str(i)), F.col("tok")))).alias(f"m{i}")
-        for i in range(k)
-    ]
-    wide = toks.groupBy("doc_id").agg(*aggs)
+    wide = _minhash_wide(documents, k)
     stack_args = ", ".join(f"{i}, m{i}" for i in range(k))
     return wide.select(
         "doc_id",
@@ -229,16 +256,41 @@ def minhash_lsh_pairs(
     doc_b) the estimate = fraction of the k minhashes that agree.
     Deterministic end to end (md5 family).
 
+    Plan (r6, guide §2.3/§2.4): signatures and band keys are computed
+    entirely within the row (_minhash_wide + per-band md5 over the
+    sorted "seed:minhash" quadruple — the same string the old
+    collect_list+sort_array aggregation built, so keys are identical);
+    the ONLY exchange left is the per-band candidate equi-join, and the
+    signature-agreement fraction is a row-local sum of k equality flags
+    after two joins on the k-column signature rows (no per-seed unpivot,
+    no agreement groupBy). The old plan ran two distinct shuffles, two
+    groupBy shuffles, and a 16×-row agreement join for the same result.
+
     Eager: the pair result is materialized and the signature cache
     released in ``finally`` (the r2 version persisted ``sig`` for the
     life of the session — VERDICT r2 task 6)."""
-    sig = minhash_signatures(documents, k).persist()
+    sig = _minhash_wide(documents, k).persist()
     try:
         rows_per_band = k // bands
-        banded = sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        band_key = banded.groupBy("doc_id", "band").agg(
-            F.md5(F.concat_ws("|", F.sort_array(F.collect_list(F.concat_ws(":", F.col("seed").cast("string"), F.col("minhash")))))).alias("bkey")
-        )
+        band_structs = []
+        for b in range(bands):
+            items = F.sort_array(
+                F.array(
+                    *[
+                        F.concat_ws(":", F.lit(str(s)), F.col(f"m{s}"))
+                        for s in range(b * rows_per_band, (b + 1) * rows_per_band)
+                    ]
+                )
+            )
+            band_structs.append(
+                F.struct(
+                    F.lit(b).cast("int").alias("band"),
+                    F.md5(F.concat_ws("|", items)).alias("bkey"),
+                )
+            )
+        band_key = sig.select(
+            "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+        ).select("doc_id", "bb.band", "bb.bkey")
         cand = (
             band_key.alias("x")
             .join(band_key.alias("y"), ["band", "bkey"])
@@ -246,14 +298,24 @@ def minhash_lsh_pairs(
             .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
             .distinct()
         )
+        a = sig.select(
+            F.col("doc_id").alias("doc_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(k)]
+        )
+        bside = sig.select(
+            F.col("doc_id").alias("doc_b"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(k)]
+        )
+        n_agree = None
+        for i in range(k):
+            flag = (F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
+            n_agree = flag if n_agree is None else n_agree + flag
         agree = (
-            cand.join(sig.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("minhash", "ma"), "doc_a")
-            .join(
-                sig.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("minhash", "mb"),
-                ["doc_b", "seed"],
+            cand.join(a, "doc_a")
+            .join(bside, "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                F.round(n_agree / F.lit(float(k)), 6).alias("est_jaccard"),
             )
-            .groupBy("doc_a", "doc_b")
-            .agg(F.round(F.sum((F.col("ma") == F.col("mb")).cast("int")) / F.lit(float(k)), 6).alias("est_jaccard"))
         )
         return agree.where(F.col("est_jaccard") >= threshold).localCheckpoint(eager=True)
     finally:

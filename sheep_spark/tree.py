@@ -469,8 +469,15 @@ def build_tree(
     spark = edges_pos_df.sparkSession
     # strategy: 'driver' = single-sweep rank-0 analogue (fastest under
     # DRIVER_TREE_MAX_EDGES), 'mapreduce' = distributed partials+merge,
-    # 'auto' = driver iff the edge-count hint fits the cap.
+    # 'auto' = driver iff the edge count fits the cap. Without a hint,
+    # measure instead of guessing (r6, guide §1/§2.4): one count() job —
+    # cheap next to either build — replaces the old silent fall-through
+    # to the multi-stage map/reduce path, which cost ~6× more than the
+    # driver funnel on cap-sized graphs. Trees are identical either way
+    # (strategy parity is pytest-asserted).
     if strategy == "auto":
+        if n_edges is None and n_partials is None:
+            n_edges = edges_pos_df.count()
         strategy = (
             "driver"
             if n_edges is not None and n_edges <= DRIVER_TREE_MAX_EDGES and n_partials is None
