@@ -26,17 +26,22 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _prepare_edges(edges_sym: DataFrame, n_partitions: int | None = None) -> tuple[DataFrame, bool]:
+def _prepare_edges(edges_sym: DataFrame, n_partitions: int | None = None,
+                   src_partition: bool = False) -> tuple[DataFrame, bool]:
     """(edges, owned): ``owned`` is True when WE persisted the frame and
     must unpersist it. A caller-persisted input is reused AS-IS (r6,
     guide §2.4/§5): the old unconditional ``repartition(n, "src")`` +
     ``persist`` re-shuffled and double-cached an edge table the caller
     already cached — pure overhead when the per-superstep join
-    broadcasts the O(V) state side (every bench path), and the caller
-    owns the layout decision when it persisted the table itself."""
+    broadcasts the O(V) state side, and the caller owns the layout
+    decision when it persisted the table itself. ``src_partition=True``
+    restores the old behavior for the regime where the state side is
+    too big to broadcast: there every superstep joins edges⋈state by
+    key, and a src-hash-partitioned cache lets each superstep reuse one
+    exchange instead of re-shuffling the E-sized table."""
     spark = edges_sym.sparkSession
     sl = edges_sym.storageLevel
-    if sl.useMemory or sl.useDisk:
+    if (sl.useMemory or sl.useDisk) and not src_partition:
         return edges_sym, False
     n = n_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     return edges_sym.repartition(n, "src").persist(), True
@@ -56,15 +61,22 @@ def pagerank(
     superstep is durably written with metrics + lineage and the loop
     resumes from the newest complete superstep.
     """
-    edges, edges_owned = _prepare_edges(edges_sym)
+    from .graph import BROADCAST_ROW_LIMIT, maybe_broadcast
+
     if vertices is not None and "degree" in vertices.columns:
         deg = vertices.select("vid", F.col("degree").cast("double").alias("deg"))
         n = deg.count()
     else:
-        deg = edges.groupBy(F.col("src").alias("vid")).agg(
+        deg = edges_sym.groupBy(F.col("src").alias("vid")).agg(
             F.count("*").cast("double").alias("deg")
         )
         n = deg.count()
+    # Below the broadcast guard, every superstep joins edges to a
+    # BROADCAST of the O(V) state — the edge table's partitioning is
+    # irrelevant and a caller-persisted table is reused as-is. Above it,
+    # src-hash-partition once so the per-superstep sort-merge join
+    # reuses that exchange (guide §2.4/§3.1).
+    edges, edges_owned = _prepare_edges(edges_sym, src_partition=n > BROADCAST_ROW_LIMIT)
 
     # State carries (vid, deg, rank). The superstep recovers deg "for
     # free" as the group row count on the symmetrized edge table, so an
@@ -90,8 +102,13 @@ def pagerank(
         contrib = state.select(
             F.col("vid").alias("src"), (F.col("rank") / F.col("deg")).alias("contrib")
         )
+        # Explicit size-guarded broadcast hint: superstep 0 plans before
+        # the state cache is materialized, so the auto-threshold sees no
+        # stats and would fall back to a sort-merge join that sorts the
+        # E-sized table (guide §3.1: hint when you KNOW the side is
+        # small — n is exact here).
         new_state = (
-            edges.join(contrib, "src")
+            edges.join(maybe_broadcast(contrib, n_rows=n), "src")
             .groupBy(F.col("dst").alias("vid"))
             .agg(
                 (F.lit(base) + F.lit(damping) * F.sum("contrib")).alias("rank"),
