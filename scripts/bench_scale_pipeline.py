@@ -162,6 +162,7 @@ def main() -> None:
     stages["tree_build"] = time.time() - t0
     stages["tree_build_collect"] = 0.0  # fused into degree_collect
     stages["tree_build_kernel"] = tree_t.get("kernel_s", 0.0)
+    stages["tree_build_select"] = tree_t.get("select_s", 0.0)  # Boruvka share of the kernel
 
     parts_meta = {}
     stages["tree_collect"] = 0.0  # parent/weight arrays never left the driver

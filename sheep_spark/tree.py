@@ -71,7 +71,17 @@ def _find(uf: np.ndarray, x: int) -> int:
     return x
 
 
-def _msf_select(lo: np.ndarray, hi: np.ndarray, n_vertices: int) -> tuple[np.ndarray, np.ndarray]:
+# Weight-ordered chunk size for the selection (r6, filter-Kruskal): the
+# sorted edge list is consumed lightest-chunk-first against the evolving
+# component labels, so the expensive full-width gather/scatter rounds
+# only ever touch one chunk (bounded working set, cache-resident label
+# traffic) and each heavier chunk is first reduced by ONE gather+filter
+# pass that drops its (majority of) already-intra-component edges.
+MSF_SELECT_CHUNK_EDGES = 8_000_000
+
+
+def _msf_select(lo: np.ndarray, hi: np.ndarray, n_vertices: int,
+                chunk_edges: int | None = None) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized Boruvka selection of the union-EFFECTIVE edges.
 
     The elimination sweep processes edges in hi-ascending order and an
@@ -95,8 +105,19 @@ def _msf_select(lo: np.ndarray, hi: np.ndarray, n_vertices: int) -> tuple[np.nda
     because an edge is only ever DROPPED when its endpoints are already
     connected by selected (= MSF) edges, which by the cycle property
     proves it union-ineffective.
+
+    Chunking (r6): edges are processed in weight-ascending chunks of
+    ``chunk_edges`` against the shared label array (filter-Kruskal).
+    Exactness is the same cycle-property argument: a heavier chunk's
+    edge is dropped only when the labels — built exclusively from
+    LIGHTER selected edges — already connect its endpoints. Chunk size
+    ≥ input length reproduces the old single-chunk behavior bit-for-bit;
+    any chunking yields the same sweep output (tested with tiny chunks).
     """
     import pandas as pd
+
+    if chunk_edges is None:
+        chunk_edges = MSF_SELECT_CHUNK_EDGES
 
     # ONE global sort by weight=hi. Tie-break among equal-hi edges is
     # free to be anything (same-hi edges commute: the sweep's output pair
@@ -109,161 +130,109 @@ def _msf_select(lo: np.ndarray, hi: np.ndarray, n_vertices: int) -> tuple[np.nda
     if n_vertices < 2**31:
         idt = np.int32
         packed = np.sort((hi.astype(np.int64) << 31) | lo.astype(np.int64))
-        cur_hi = (packed >> 31).astype(np.int32)
-        cur_lo = (packed & ((1 << 31) - 1)).astype(np.int32)
+        srt_hi = (packed >> 31).astype(np.int32)
+        srt_lo = (packed & ((1 << 31) - 1)).astype(np.int32)
         del packed
     else:
         idt = np.int64
         order0 = np.argsort(hi, kind="stable")
-        cur_lo = lo[order0]
-        cur_hi = hi[order0]
+        srt_lo = lo[order0]
+        srt_hi = hi[order0]
 
     label = np.arange(n_vertices, dtype=idt)
+    labels_identity = True  # no contraction has happened yet
     sel_lo: list[np.ndarray] = []
     sel_hi: list[np.ndarray] = []
-    prev_len = None
-    first_round = True
-    while len(cur_lo):
-        if first_round:
-            # labels are identity: skip the gather, the intra-component
-            # filter (no self loops survive to pos space; a stray one
-            # would be selected then skipped by the sweep — harmless),
-            # and the pair dedup (duplicate edges can't BOTH be selected:
-            # the duplicate's slots hit already-claimed components).
-            a, b = cur_lo, cur_hi
-        else:
-            a = label[cur_lo]
-            b = label[cur_hi]
-            keep = a != b
-            if not keep.any():
-                break
-            cur_lo, cur_hi = cur_lo[keep], cur_hi[keep]
-            a, b = a[keep], b[keep]
-            # Component-pair dedup: of parallel edges between the same
-            # two components only the minimum can be in the MSF (swap
-            # argument: exchanging it for a heavier parallel edge
-            # strictly lowers the tree weight), and slot order IS weight
-            # order, so keep-first is keep-min. Bounds late rounds by
-            # #component-pairs and makes the early exit measure true
-            # progress.
-            if n_vertices < 3_000_000_000:  # pair key fits int64
-                pk = np.minimum(a, b).astype(np.int64) * n_vertices + np.maximum(a, b)
-                first_pair = ~pd.Series(pk).duplicated().to_numpy()
-                if not first_pair.all():
-                    cur_lo, cur_hi = cur_lo[first_pair], cur_hi[first_pair]
-                    a, b = a[first_pair], b[first_pair]
-            # Early exit when rounds stop paying: a selection round costs
-            # a few O(E) numpy passes (~1/20 of the interpreted sweep per
-            # edge), so keep going while it removes ≥5%/round. The
-            # remainder is handed to the sweep unselected — exact (see
-            # docstring).
-            if prev_len is not None and len(cur_lo) > _MSF_EXIT_FRACTION * prev_len:
-                sel_lo.append(cur_lo)
-                sel_hi.append(cur_hi)
-                break
-        first_round = False
-        prev_len = len(cur_lo)
-        n_e = len(a)
-        # min-weight incident edge per component WITHOUT a per-round sort:
-        # interleave (a0,b0,a1,b1,...) so slot order == weight order, then
-        # first occurrence per component. Labels are < n_vertices, so a
-        # direct-address scatter (reverse order → first write wins) beats
-        # a hash pass ~5× when the round is big; small rounds use the
-        # hash to avoid the O(V) table fill.
-        comps2 = np.empty(2 * n_e, dtype=idt)
-        comps2[0::2] = a
-        comps2[1::2] = b
-        if 8 * n_e >= n_vertices:
-            idx = np.arange(2 * n_e, dtype=idt if 2 * n_e < 2**31 else np.int64)
-            firstslot = np.full(n_vertices, -1, dtype=idx.dtype)
-            firstslot[comps2[::-1]] = idx[::-1]  # repeated idx: last write (= first slot) wins
-            slots = np.flatnonzero(firstslot[comps2] == idx)
-        else:
-            slots = np.flatnonzero(~pd.Series(comps2).duplicated().to_numpy())
-        e = slots >> 1                    # each component's min edge id
-        c = comps2[slots]
-        o = comps2[slots ^ 1]             # the other endpoint's label
-        sel = np.unique(e)
-        sel_lo.append(cur_lo[sel])
-        sel_hi.append(cur_hi[sel])
-        # hook c → o; weights are made distinct by the input-order
-        # tie-break, so hook cycles have length exactly 2 — break them,
-        # then contract by pointer jumping.
-        p = np.arange(n_vertices, dtype=idt)
-        p[c] = o
-        mutual = (p[p[c]] == c) & (c < p[c])
-        p[c[mutual]] = c[mutual]
-        while True:
-            pp = p[p]
-            if np.array_equal(pp, p):
-                break
-            p = pp
-        label = p[label]
+    for start in range(0, len(srt_lo), chunk_edges):
+        cur_lo = srt_lo[start:start + chunk_edges]
+        cur_hi = srt_hi[start:start + chunk_edges]
+        prev_len = None
+        first_round = labels_identity
+        while len(cur_lo):
+            if first_round:
+                # labels are identity: skip the gather, the intra-component
+                # filter (no self loops survive to pos space; a stray one
+                # would be selected then skipped by the sweep — harmless),
+                # and the pair dedup (duplicate edges can't BOTH be selected:
+                # the duplicate's slots hit already-claimed components).
+                a, b = cur_lo, cur_hi
+            else:
+                a = label[cur_lo]
+                b = label[cur_hi]
+                keep = a != b
+                if not keep.any():
+                    break
+                cur_lo, cur_hi = cur_lo[keep], cur_hi[keep]
+                a, b = a[keep], b[keep]
+                # Component-pair dedup: of parallel edges between the same
+                # two components only the minimum can be in the MSF (swap
+                # argument: exchanging it for a heavier parallel edge
+                # strictly lowers the tree weight), and slot order IS weight
+                # order, so keep-first is keep-min. Bounds late rounds by
+                # #component-pairs and makes the early exit measure true
+                # progress.
+                if n_vertices < 3_000_000_000:  # pair key fits int64
+                    pk = np.minimum(a, b).astype(np.int64) * n_vertices + np.maximum(a, b)
+                    first_pair = ~pd.Series(pk).duplicated().to_numpy()
+                    if not first_pair.all():
+                        cur_lo, cur_hi = cur_lo[first_pair], cur_hi[first_pair]
+                        a, b = a[first_pair], b[first_pair]
+                # Early exit when rounds stop paying: a selection round costs
+                # a few O(E) numpy passes (~1/20 of the interpreted sweep per
+                # edge), so keep going while it removes ≥5%/round. The
+                # remainder is handed to the sweep unselected — exact (see
+                # docstring).
+                if prev_len is not None and len(cur_lo) > _MSF_EXIT_FRACTION * prev_len:
+                    sel_lo.append(cur_lo)
+                    sel_hi.append(cur_hi)
+                    break
+            first_round = False
+            labels_identity = False
+            prev_len = len(cur_lo)
+            n_e = len(a)
+            # min-weight incident edge per component WITHOUT a per-round sort:
+            # interleave (a0,b0,a1,b1,...) so slot order == weight order, then
+            # first occurrence per component. Labels are < n_vertices, so a
+            # direct-address scatter (reverse order → first write wins) beats
+            # a hash pass ~5× when the round is big; small rounds use the
+            # hash to avoid the O(V) table fill.
+            comps2 = np.empty(2 * n_e, dtype=idt)
+            comps2[0::2] = a
+            comps2[1::2] = b
+            if 8 * n_e >= n_vertices:
+                idx = np.arange(2 * n_e, dtype=idt if 2 * n_e < 2**31 else np.int64)
+                firstslot = np.full(n_vertices, -1, dtype=idx.dtype)
+                firstslot[comps2[::-1]] = idx[::-1]  # repeated idx: last write (= first slot) wins
+                slots = np.flatnonzero(firstslot[comps2] == idx)
+            else:
+                slots = np.flatnonzero(~pd.Series(comps2).duplicated().to_numpy())
+            e = slots >> 1                    # each component's min edge id
+            c = comps2[slots]
+            o = comps2[slots ^ 1]             # the other endpoint's label
+            sel = np.unique(e)
+            sel_lo.append(cur_lo[sel])
+            sel_hi.append(cur_hi[sel])
+            # hook c → o; weights are made distinct by the input-order
+            # tie-break, so hook cycles have length exactly 2 — break them,
+            # then contract by pointer jumping.
+            p = np.arange(n_vertices, dtype=idt)
+            p[c] = o
+            mutual = (p[p[c]] == c) & (c < p[c])
+            p[c[mutual]] = c[mutual]
+            while True:
+                pp = p[p]
+                if np.array_equal(pp, p):
+                    break
+                p = pp
+            label = p[label]
     if not sel_lo:
         return lo[:0], hi[:0]
     return np.concatenate(sel_lo), np.concatenate(sel_hi)
 
 
-# Fork-parallel selection pays only when the per-shard work dwarfs the
-# fork + result-transfer overhead and the merge pass.
-PARALLEL_SELECT_MIN_EDGES = 8_000_000
-
-_SHARD_STATE: tuple | None = None
-
-
-def _select_shard(i: int) -> tuple[np.ndarray, np.ndarray]:
-    lo, hi, n_vertices, bounds = _SHARD_STATE
-    s, e = int(bounds[i]), int(bounds[i + 1])
-    return _msf_select(lo[s:e], hi[s:e], n_vertices)
-
-
-def default_kernel_jobs() -> int:
-    """Driver-kernel fork width (SPARK_GRAFT_KERNEL_JOBS overrides;
-    default matches the bench's quota'd pipeline cores)."""
-    import os
-
-    return int(os.environ.get("SPARK_GRAFT_KERNEL_JOBS", min(8, os.cpu_count() or 8)))
-
-
-def _msf_select_sharded(lo: np.ndarray, hi: np.ndarray, n_vertices: int,
-                        n_jobs: int) -> tuple[np.ndarray, np.ndarray]:
-    """Fork-parallel Boruvka selection (r6, VERDICT r5 task 2a): split
-    the edge list into contiguous shards, run _msf_select per shard in
-    forked workers (the input arrays are inherited copy-on-write — no
-    serialization in), concatenate the shard selections, and run one
-    final _msf_select over the union.
-
-    Exact, by MSF composability (the filter-Kruskal argument): a shard's
-    selection preserves its shard's connectivity at every weight
-    threshold, so the union of shard selections preserves the full
-    input's threshold connectivity, and any MSF of that union is an MSF
-    of the full input. The sweep's output is invariant over WHICH MSF is
-    chosen (threshold-partition property — see _msf_select's docstring),
-    so the resulting tree is identical to the single-pass kernel's
-    (asserted by test_sharded_select_matches_plain).
-
-    Falls back to the single-pass selection when fork is unavailable."""
-    import multiprocessing as mp
-
-    global _SHARD_STATE
-    try:
-        ctx = mp.get_context("fork")
-    except ValueError:  # platform without fork
-        return _msf_select(lo, hi, n_vertices)
-    bounds = np.linspace(0, len(lo), n_jobs + 1).astype(np.int64)
-    _SHARD_STATE = (lo, hi, n_vertices, bounds)
-    try:
-        with ctx.Pool(n_jobs) as pool:
-            parts = pool.map(_select_shard, range(n_jobs))
-    finally:
-        _SHARD_STATE = None
-    sl = np.concatenate([p[0] for p in parts])
-    sh = np.concatenate([p[1] for p in parts])
-    return _msf_select(sl, sh, n_vertices)
-
-
 def _eliminate(lo: np.ndarray, hi: np.ndarray, n_vertices: int,
-               select: bool = True, n_jobs: int = 1) -> tuple[np.ndarray, np.ndarray]:
+               select: bool = True,
+               timings: dict | None = None) -> tuple[np.ndarray, np.ndarray]:
     """Union-find elimination sweep over (lo, hi) pairs sorted by hi.
 
     Returns (kid, parent) tree-edge arrays. Exact semantics of
@@ -284,10 +253,12 @@ def _eliminate(lo: np.ndarray, hi: np.ndarray, n_vertices: int,
     35M-edge graph ≤11.4% of edges can union.)
     """
     if select and len(lo) >= MSF_SELECT_MIN_EDGES:
-        if n_jobs > 1 and len(lo) >= PARALLEL_SELECT_MIN_EDGES:
-            lo, hi = _msf_select_sharded(lo, hi, n_vertices, n_jobs)
-        else:
-            lo, hi = _msf_select(lo, hi, n_vertices)
+        import time as _time
+
+        t0 = _time.monotonic()
+        lo, hi = _msf_select(lo, hi, n_vertices)
+        if timings is not None:
+            timings["select_s"] = round(_time.monotonic() - t0, 2)
     order = np.argsort(hi, kind="stable")
     # python lists: ~2x faster element access than numpy scalars in the
     # interpreted sweep; fall back to numpy when the pointer-per-int list
@@ -426,7 +397,7 @@ def build_parent_edges_driver(edges_pos_df: DataFrame, n_vertices: int,
     spark = edges_pos_df.sparkSession
     lo, hi = _collect_pos_pairs(edges_pos_df, timings)
     t0 = time.monotonic()
-    kid, par = _eliminate(lo, hi, n_vertices, n_jobs=default_kernel_jobs())
+    kid, par = _eliminate(lo, hi, n_vertices)
     if timings is not None:
         timings["kernel_s"] = round(time.monotonic() - t0, 2)
     return spark.createDataFrame(pd.DataFrame({"lo": kid, "hi": par}))
@@ -469,7 +440,7 @@ def build_tree_arrays(lo: np.ndarray, hi: np.ndarray, n_vertices: int,
     import time
 
     t0 = time.monotonic()
-    kid, par = _eliminate(lo, hi, n_vertices, n_jobs=default_kernel_jobs())
+    kid, par = _eliminate(lo, hi, n_vertices, timings=timings)
     if timings is not None:
         timings["kernel_s"] = round(time.monotonic() - t0, 2)
     parent_full = np.full(n_vertices, -1, dtype=np.int64)

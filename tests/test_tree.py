@@ -34,42 +34,23 @@ def test_msf_select_preserves_sweep_output(seed):
     assert _sweep_pairs(sl, sh, n) == _sweep_pairs(lo, hi, n)
 
 
-@pytest.mark.parametrize("seed", range(4))
-def test_sharded_select_matches_plain(seed):
-    """Fork-parallel shard selection (r6) must yield the identical sweep
-    output as the single-pass selection: any MSF of the union of
-    shard-MSFs is an MSF of the full input (filter-Kruskal), and the
-    sweep is invariant over the MSF choice."""
-    rng = np.random.default_rng(1000 + seed)
-    n = int(rng.integers(50, 400))
-    m = int(rng.integers(100, 6000))
+@pytest.mark.parametrize("seed", range(6))
+@pytest.mark.parametrize("chunk", [17, 64, 509])
+def test_msf_select_chunked_preserves_sweep_output(seed, chunk):
+    """Filter-Kruskal chunking (r6) must be invisible to the sweep: any
+    chunk size yields the same (kid, parent) set as the unchunked
+    selection — a heavier chunk's edge is dropped only when lighter
+    SELECTED edges already connect its endpoints (cycle property)."""
+    rng = np.random.default_rng(4000 + seed)
+    n = int(rng.integers(20, 300))
+    m = int(rng.integers(10, 2500))
     a = rng.integers(0, n, m)
     b = rng.integers(0, n, m)
     keep = a != b
     lo = np.minimum(a, b)[keep].astype(np.int64)
     hi = np.maximum(a, b)[keep].astype(np.int64)
-    sl, sh = tree._msf_select_sharded(lo, hi, n, n_jobs=3)
+    sl, sh = tree._msf_select(lo, hi, n, chunk_edges=chunk)
     assert _sweep_pairs(sl, sh, n) == _sweep_pairs(lo, hi, n)
-
-
-def test_eliminate_parallel_jobs_identical():
-    """_eliminate with n_jobs>1 (forced through the sharded path by
-    lowering the gates) returns exactly the single-thread tree."""
-    rng = np.random.default_rng(7)
-    n = 500
-    a = rng.integers(0, n, 20_000)
-    b = rng.integers(0, n, 20_000)
-    keep = a != b
-    lo = np.minimum(a, b)[keep].astype(np.int64)
-    hi = np.maximum(a, b)[keep].astype(np.int64)
-    import unittest.mock as mock
-
-    with mock.patch.object(tree, "MSF_SELECT_MIN_EDGES", 1), mock.patch.object(
-        tree, "PARALLEL_SELECT_MIN_EDGES", 1
-    ):
-        kid_p, par_p = tree._eliminate(lo, hi, n, n_jobs=4)
-    kid_s, par_s = tree._eliminate(lo, hi, n)
-    assert set(zip(kid_p.tolist(), par_p.tolist())) == set(zip(kid_s.tolist(), par_s.tolist()))
 
 
 def test_msf_select_dense_graph_selects_at_most_v_minus_1():
