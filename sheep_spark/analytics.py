@@ -20,10 +20,39 @@ Physical notes
 
 from __future__ import annotations
 
+import os
 import time
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+@contextmanager
+def _superstep_planning(spark):
+    """Disable AQE's per-stage replanning barriers for the duration of a
+    fixed-shape superstep loop, restoring the session's setting after
+    (r6, guide §2 / r4 scale-worker analysis): every superstep re-plans
+    the same physical shape, and the replanning + extra stage barrier is
+    a DRIVER-SERIAL cost per superstep (measured 1.4 s/superstep at 48
+    partitions vs 0.5 s AQE-off on the scale input; sf0.1 suite: 5
+    supersteps 6.3 → 5.6 s interleaved A/B). A real 4N-executor cluster
+    pays the same serial barrier — it is exactly what the scaling rule
+    punishes. Opt out with SPARK_GRAFT_SUPERSTEP_AQE=1 when a superstep
+    genuinely needs AQE's runtime skew splitting."""
+    if os.environ.get("SPARK_GRAFT_SUPERSTEP_AQE") == "1":
+        yield
+        return
+    key = "spark.sql.adaptive.enabled"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = "true"
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 def _prepare_edges(edges_sym: DataFrame, n_partitions: int | None = None,
@@ -92,52 +121,53 @@ def pagerank(
 
     info = {"iterations": 0, "l1_delta": None, "superstep_secs": [], "n_vertices": n}
     base = (1.0 - damping) / n
-    for it in range(start_iter, max_iter):
-        t0 = time.time()
-        # contrib = rank/deg computed ONCE per vertex on the O(V) state
-        # side before the join (r6, guide §2.3): the joined edge rows
-        # carry one double instead of (rank, deg), and the per-edge
-        # division disappears — the summed VALUES are identical, so the
-        # result is unchanged.
-        contrib = state.select(
-            F.col("vid").alias("src"), (F.col("rank") / F.col("deg")).alias("contrib")
-        )
-        # Explicit size-guarded broadcast hint: superstep 0 plans before
-        # the state cache is materialized, so the auto-threshold sees no
-        # stats and would fall back to a sort-merge join that sorts the
-        # E-sized table (guide §3.1: hint when you KNOW the side is
-        # small — n is exact here).
-        new_state = (
-            edges.join(maybe_broadcast(contrib, n_rows=n), "src")
-            .groupBy(F.col("dst").alias("vid"))
-            .agg(
-                (F.lit(base) + F.lit(damping) * F.sum("contrib")).alias("rank"),
-                F.count("*").cast("double").alias("deg"),
+    with _superstep_planning(edges.sparkSession):
+        for it in range(start_iter, max_iter):
+            t0 = time.time()
+            # contrib = rank/deg computed ONCE per vertex on the O(V)
+            # state side before the join (r6, guide §2.3): the joined
+            # edge rows carry one double instead of (rank, deg), and the
+            # per-edge division disappears — the summed VALUES are
+            # identical, so the result is unchanged.
+            contrib = state.select(
+                F.col("vid").alias("src"), (F.col("rank") / F.col("deg")).alias("contrib")
             )
-            .select("vid", "deg", "rank")
-        )
-        if (it - start_iter) % 8 == 7:
-            new_state = new_state.localCheckpoint(eager=False)
-        new_state = new_state.persist()
-        if tol > 0.0:
-            l1 = (
-                new_state.select("vid", F.col("rank").alias("nr"))
-                .join(state.select("vid", "rank"), "vid")
-                .agg(F.sum(F.abs(F.col("nr") - F.col("rank"))).alias("d"))
-                .collect()[0]["d"]
+            # Explicit size-guarded broadcast hint: superstep 0 plans
+            # before the state cache is materialized, so the
+            # auto-threshold sees no stats and would fall back to a
+            # sort-merge join that sorts the E-sized table (guide §3.1:
+            # hint when you KNOW the side is small — n is exact here).
+            new_state = (
+                edges.join(maybe_broadcast(contrib, n_rows=n), "src")
+                .groupBy(F.col("dst").alias("vid"))
+                .agg(
+                    (F.lit(base) + F.lit(damping) * F.sum("contrib")).alias("rank"),
+                    F.count("*").cast("double").alias("deg"),
+                )
+                .select("vid", "deg", "rank")
             )
-        else:  # fixed-iteration mode: materialize without the delta join
-            new_state.count()
-            l1 = float("inf")
-        state.unpersist()
-        state = new_state
-        info["iterations"] = it + 1
-        info["l1_delta"] = float(l1)
-        info["superstep_secs"].append(time.time() - t0)
-        if checkpointer is not None:
-            checkpointer.save(it, state, {"l1_delta": float(l1)})
-        if l1 < tol:
-            break
+            if (it - start_iter) % 8 == 7:
+                new_state = new_state.localCheckpoint(eager=False)
+            new_state = new_state.persist()
+            if tol > 0.0:
+                l1 = (
+                    new_state.select("vid", F.col("rank").alias("nr"))
+                    .join(state.select("vid", "rank"), "vid")
+                    .agg(F.sum(F.abs(F.col("nr") - F.col("rank"))).alias("d"))
+                    .collect()[0]["d"]
+                )
+            else:  # fixed-iteration mode: materialize without the delta join
+                new_state.count()
+                l1 = float("inf")
+            state.unpersist()
+            state = new_state
+            info["iterations"] = it + 1
+            info["l1_delta"] = float(l1)
+            info["superstep_secs"].append(time.time() - t0)
+            if checkpointer is not None:
+                checkpointer.save(it, state, {"l1_delta": float(l1)})
+            if l1 < tol:
+                break
     if edges_owned:
         edges.unpersist()
     return state.select("vid", "rank"), info
@@ -218,6 +248,10 @@ def connected_components(
 
     prev = stats(e)
     info = {"iterations": 0, "changed": prev[0], "converged": prev[0] == 0}
+    # NOTE (r6): AQE stays ON here, unlike pagerank — CC's edge set
+    # shrinks every round and AQE's runtime join re-selection (small
+    # rounds become broadcast joins) beats the static plan: toggling it
+    # off measured 10.4 s vs 6 s for the sf0.1 CC query.
     for it in range(start_iter, max_iter):
         # lazy checkpoint: the stats() collect is the materializing
         # action, so each round runs ONE job instead of two (r6)
