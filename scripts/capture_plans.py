@@ -29,7 +29,12 @@ sys.path.insert(0, REPO)
 
 def main() -> None:
     import __spark_entry__ as entrymod
-    from pyspark.sql import DataFrame
+    from pyspark.sql import DataFrame as BaseDataFrame
+
+    try:  # Spark 4: the concrete class overrides the base's methods
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:
+        DataFrame = BaseDataFrame
 
     from sheep_spark.session import get_spark
 
@@ -59,12 +64,18 @@ def main() -> None:
             plans.append("== job: count ==\n" + fmt(df))
             return _orig(df)
 
+        def log_ckpt(df, eager=True, _orig=orig_ckpt):
+            # log the PRE-checkpoint plan, then checkpoint for real so
+            # iterative lineage still truncates
+            plans.append("== job: localCheckpoint ==\n" + fmt(df))
+            return _orig(df, eager)
+
         DataFrame.collect = log_collect
         DataFrame.count = log_count
-        DataFrame.localCheckpoint = lambda self, eager=True: self  # keep plans visible
+        DataFrame.localCheckpoint = log_ckpt
         try:
             out = qmap[name](spark, SF_DIR)
-            if isinstance(out, DataFrame):
+            if isinstance(out, BaseDataFrame):
                 plans.append("== returned DataFrame ==\n" + fmt(out))
         finally:
             DataFrame.collect = orig_collect

@@ -101,10 +101,18 @@ def href_edges(pages: DataFrame) -> DataFrame:
     return pages.select("url", "html").mapInPandas(fn, EDGES_RAW_SCHEMA)
 
 
-def mint_vertex_ids(edges_raw: DataFrame) -> DataFrame:
+def mint_vertex_ids(edges_raw: DataFrame,
+                    driver_rank_max: int = 30_000_000) -> DataFrame:
     """url → dense vid by url sort order (deterministic). At 10^12-doc
     scale swap for xxhash64(url) sparse ids (collision odds ~V²/2⁶⁴) to
-    skip the global sort; dense ids keep the tree kernels array-indexed."""
+    skip the global sort; dense ids keep the tree kernels array-indexed.
+
+    Below ``driver_rank_max`` distinct urls the rank runs on the driver
+    (r6, same funnel rule as vertices_from_edges): one collect + python
+    sort replaces attach_rank's range-repartition, per-partition count
+    collect, window rank and eager checkpoint (~4 jobs). vids are
+    IDENTICAL: python str comparison is code-point order, which equals
+    Spark's byte-wise UTF-8 string order (UTF-8 is order-preserving)."""
     from pyspark.sql import functions as F
 
     from .graph import attach_rank
@@ -114,7 +122,19 @@ def mint_vertex_ids(edges_raw: DataFrame) -> DataFrame:
         .unionAll(edges_raw.select(F.col("dst_url").alias("url")))
         .distinct()
     )
-    return attach_rank(urls, ["url"], out="vid").select("url", "vid")
+    n = urls.count()
+    if n > driver_rank_max:
+        return attach_rank(urls, ["url"], out="vid").select("url", "vid")
+    spark = edges_raw.sparkSession
+    if n == 0:
+        return spark.createDataFrame([], "url string, vid long")
+    import numpy as np
+    import pandas as pd
+
+    vals = sorted(r["url"] for r in urls.collect())
+    return spark.createDataFrame(
+        pd.DataFrame({"url": vals, "vid": np.arange(n, dtype=np.int64)})
+    )
 
 
 def edges_from_pages(pages: DataFrame) -> tuple[DataFrame, DataFrame]:
