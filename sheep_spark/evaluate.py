@@ -35,16 +35,41 @@ def _mult_hash(col, hash_fn: str):
 
 
 def joined_edges(edges_sym: DataFrame, vmeta: DataFrame, broadcast_meta: bool = True,
-                 n_vertices: int | None = None) -> DataFrame:
+                 n_vertices: int | None = None,
+                 once: DataFrame | None = None) -> DataFrame:
     """Symmetrized edges annotated with (pos, part) of both endpoints.
     The broadcast hint is size-guarded (graph.maybe_broadcast); pass
-    ``n_vertices`` to skip the guard's count job in hot paths."""
+    ``n_vertices`` to skip the guard's count job in hot paths.
+
+    ``once`` (r6, guide §2.3): callers holding the CANONICAL half (each
+    undirected edge exactly once, src < dst) pass it here; the join then
+    runs over E/2 rows — one scan of the canonical source and TWO
+    broadcast probes per undirected edge instead of four — and both
+    directed perspectives are re-created afterwards by exploding a
+    2-struct array per row. The exploded rows are exactly the doubled
+    view's rows, so every downstream aggregation is unchanged."""
     from .graph import maybe_broadcast
 
     v = maybe_broadcast(vmeta, n_rows=n_vertices) if broadcast_meta else vmeta
     a = v.select(F.col("vid").alias("src"), F.col("pos").alias("pos_a"), F.col("part").alias("part_a"))
     b = v.select(F.col("vid").alias("dst"), F.col("pos").alias("pos_b"), F.col("part").alias("part_b"))
-    return edges_sym.join(a, "src").join(b, "dst")
+    if once is None:
+        return edges_sym.join(a, "src").join(b, "dst")
+    j = once.join(a, "src").join(b, "dst")
+    both = F.array(
+        F.struct(
+            F.col("src"), F.col("dst"),
+            F.col("pos_a"), F.col("part_a"), F.col("pos_b"), F.col("part_b"),
+        ),
+        F.struct(
+            F.col("dst").alias("src"), F.col("src").alias("dst"),
+            F.col("pos_b").alias("pos_a"), F.col("part_b").alias("part_a"),
+            F.col("pos_a").alias("pos_b"), F.col("part_a").alias("part_b"),
+        ),
+    )
+    return j.select(F.explode(both).alias("e")).select(
+        "e.src", "e.dst", "e.pos_a", "e.part_a", "e.pos_b", "e.part_b"
+    )
 
 
 def _sum_distinct_minus_one(pairs: DataFrame, key: str, val: str) -> int:
@@ -64,7 +89,7 @@ ALL_METRICS = (
 
 def evaluate(edges_sym: DataFrame, vmeta: DataFrame, broadcast_meta: bool = True,
              hash_fn: str = "cormen", num_parts: int | None = None,
-             metrics=None) -> dict:
+             metrics=None, once: DataFrame | None = None) -> dict:
     """Partition-quality metric dict in TWO jobs over the edge-join:
     (1) per-vertex bitmask aggregation carrying the scalar counts as
     extra aggregates, (2) all per-part max loads via ONE explode scan.
@@ -108,7 +133,7 @@ def evaluate(edges_sym: DataFrame, vmeta: DataFrame, broadcast_meta: bool = True
     if num_parts is None:
         num_parts = max((int(r["part"]) for r in part_rows), default=-1) + 1
 
-    j = joined_edges(edges_sym, vmeta, broadcast_meta, n_vertices=n_vertices)
+    j = joined_edges(edges_sym, vmeta, broadcast_meta, n_vertices=n_vertices, once=once)
 
     out: dict = {}
     ecv: dict = {}

@@ -22,6 +22,30 @@ def test_spark_evaluator_matches_python_port(spark):
     assert got == want
 
 
+def test_canonical_once_path_matches_doubled(spark):
+    """evaluate(once=canonical) — the r6 single-scan explode form — must
+    equal the doubled-view path AND the python port, for the full suite
+    and the fast subset."""
+    from pyspark.sql import functions as F
+
+    edges = random_graph(70, 160, seed=33)
+    pos = degree_pos(edges)
+    rng = random.Random(9)
+    part = {v: rng.randrange(5) for v in pos}
+    sym = edges_df(spark, edges)
+    canon = sym.where(F.col("src") < F.col("dst"))
+    verts = graph.vertices_from_edges(sym)
+    assign = spark.createDataFrame(list(part.items()), "vid long, part int")
+    vmeta = partitioner.vertex_meta(verts, assign)
+
+    want = evaluate.evaluate_oracle(edges, pos, part)
+    got_canon = evaluate.evaluate(sym, vmeta, once=canon)
+    assert got_canon == want
+    fast = ("edges_cut", "ecv_down", "down_balance")
+    got_fast = evaluate.evaluate(sym, vmeta, metrics=fast, once=canon)
+    assert all(got_fast[k] == want[k] for k in fast)
+
+
 def test_evaluator_single_part_zero_cut(spark):
     edges = random_graph(40, 80, seed=2)
     sym = edges_df(spark, edges)
