@@ -145,9 +145,20 @@ def main() -> None:
     # (the sequence stays as driver arrays — the reference's rank 0
     # holds it in memory too; vertices_df_from_arrays re-creates the
     # DataFrame/.seq artifact on demand, outside the measured span)
+    # ADVICE r5: derive the int32-transfer guard from the parquet the
+    # leg actually reads (prepare_canonical_parquet encodes
+    # ..._{edges}_{vertices}.parquet in the path), not from the
+    # subprocess env — a mismatched SPARK_GRAFT_PIPE_EDGES_PATH override
+    # must not smuggle >=2^31 ids through the narrow transfer. An
+    # unparseable custom path falls back to the env V; the funnel itself
+    # now also rejects wrapped ids post-collect.
+    import re
+
+    pv = re.search(r"_(\d+)_(\d+)\.parquet/?$", path)
+    guard_v = int(pv.group(2)) if pv else V
     t0 = time.time()
     seq_t: dict = {}
-    arrs = graph.driver_sequence_arrays(canon, timings=seq_t, ids_fit_int32=V < 2**31)
+    arrs = graph.driver_sequence_arrays(canon, timings=seq_t, ids_fit_int32=guard_v < 2**31)
     n_vertices = len(arrs["vid"])
     stages["degree_sequence"] = time.time() - t0
     stages["degree_collect"] = seq_t.get("collect_s", 0.0)
@@ -221,6 +232,10 @@ def main() -> None:
                 "n_vertices": n_vertices,
                 "cores": CPUS,
                 "input": "pre-simplified canonical parquet (the analogue of the reference's pre-converted com-lj.dat); synthesis+dedup prep excluded from core",
+                # ADVICE r5: machine-readable span protocol so r2-r4
+                # artifacts (which include synth+dedup in the span)
+                # can't be compared against this one silently
+                "span": "r5-presimplified-input",
                 "stages_s": {k: round(v, 2) for k, v in stages.items()},
                 "pipeline_core_s": round(core, 2),
                 "us_per_undirected_edge": round(core * 1e6 / n_undirected, 4),

@@ -212,6 +212,19 @@ def driver_sequence_arrays(canon: DataFrame, timings: dict | None = None,
             F.col("src").cast("int").alias("src"), F.col("dst").cast("int").alias("dst")
         )
     src, dst = collect_int64_columns(canon, ("src", "dst"), timings)
+    if ids_fit_int32 and len(src) and (int(src.min()) < 0 or int(dst.min()) < 0):
+        # ADVICE r5: under non-ANSI SQL config the JVM-side int cast
+        # WRAPS an id >= 2^31 instead of erroring, and every downstream
+        # degree/tree/quality number silently corrupts. An id in
+        # [2^31, 2^32) — the realistic off-by-one-V case — wraps
+        # negative, so a negative endpoint here proves the caller's
+        # promise was false. Two O(E) numpy mins, ~ms at 35M edges.
+        raise ValueError(
+            "driver_sequence_arrays: ids_fit_int32 promised 0 <= id < 2^31 "
+            "but negative endpoints arrived after the int32 transfer — an "
+            "id >= 2^31 wrapped in the JVM-side cast; re-run without "
+            "ids_fit_int32 (int64 transfer)"
+        )
     t0 = time.monotonic()
     m = int(max(src.max(), dst.max())) + 1 if len(src) else 0
     if len(src) and src.min() >= 0 and dst.min() >= 0 and m <= dense_vid_limit:

@@ -137,3 +137,30 @@ def test_fused_driver_funnel_int32_transfer(spark):
     for k in ("vid", "degree", "pos", "lo", "hi"):
         assert a[k].dtype == b[k].dtype == np.int64, k
         assert np.array_equal(a[k], b[k]), k
+
+
+def test_fused_driver_funnel_int32_promise_violation_raises(spark):
+    """A false ids_fit_int32 promise must raise, not corrupt (ADVICE
+    r5): under the ANSI default the JVM cast itself throws
+    CAST_OVERFLOW; under ansi.enabled=false the cast silently WRAPS an
+    id in [2^31, 2^32) to a negative int32 and the funnel's
+    post-collect guard must catch it instead."""
+    import pytest
+    from pyspark.errors.exceptions.captured import ArithmeticException
+
+    big = 2**31 + 7  # wraps to a negative int32 under non-ANSI cast
+    canon = spark.createDataFrame(
+        [(0, 1), (1, big), (0, big)], "src long, dst long"
+    )
+    # sanity: the honest path handles the same ids fine (sparse relabel)
+    a = graph.driver_sequence_arrays(canon)
+    assert len(a["vid"]) == 3
+    with pytest.raises((ValueError, ArithmeticException)):
+        graph.driver_sequence_arrays(canon, ids_fit_int32=True)
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:  # non-ANSI: the wrap is silent JVM-side — OUR guard must fire
+        with pytest.raises(ValueError, match="ids_fit_int32"):
+            graph.driver_sequence_arrays(canon, ids_fit_int32=True)
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
