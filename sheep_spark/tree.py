@@ -252,13 +252,54 @@ def _eliminate(lo: np.ndarray, hi: np.ndarray, n_vertices: int,
     i.e. selection RETENTION, not input effectiveness — on a 4.0M-vertex
     35M-edge graph ≤11.4% of edges can union.)
     """
-    if select and len(lo) >= MSF_SELECT_MIN_EDGES:
-        import time as _time
+    import time as _time
 
+    from . import _csweep
+
+    if select and len(lo) >= MSF_SELECT_MIN_EDGES:
         t0 = _time.monotonic()
         lo, hi = _msf_select(lo, hi, n_vertices)
         if timings is not None:
             timings["select_s"] = round(_time.monotonic() - t0, 2)
+
+    c_fn = _csweep.loaded()
+    if c_fn is not None:
+        # Compiled sweep (r6): the same union-find loop at C speed
+        # replaces the interpreted tail — the one serial pass numpy
+        # cannot vectorize (measured 0.4 s vs ~4.6 s over the 4.0M
+        # selected edges at the 35M-edge scale point). Selection above
+        # stays worthwhile: it feeds the sweep ~9x fewer edges and its
+        # rounds cost less than the extra memory-bound sweep traffic
+        # (A/B at 35M: select+sweep 6.2 s vs sweep-all 7.6 s).
+        # Identical output pairs; falls through to the interpreted
+        # paths whenever the compiled kernel is unavailable.
+        t0 = _time.monotonic()
+        if n_vertices < 2**31:
+            # pos-space ids are < n_vertices, so a packed VALUE sort
+            # stands in for the stable argsort (~4x faster); equal-hi
+            # order is free to differ — same-hi edges commute
+            # (test_msf_select_preserves_sweep_output), the same law
+            # _msf_select's own value sort already relies on.
+            packed = np.sort((hi.astype(np.int64) << 31) | lo.astype(np.int64))
+            hi_s = packed >> 31
+            lo_s = packed & ((1 << 31) - 1)
+            del packed
+        else:
+            order = np.argsort(hi, kind="stable")
+            lo_s = np.ascontiguousarray(lo[order], dtype=np.int64)
+            hi_s = np.ascontiguousarray(hi[order], dtype=np.int64)
+        if timings is not None:
+            timings["sort_s"] = round(_time.monotonic() - t0, 2)
+        t0 = _time.monotonic()
+        uf = np.arange(n_vertices, dtype=np.int64)
+        cap = min(len(lo_s), n_vertices)
+        kid_out = np.empty(cap, dtype=np.int64)
+        par_out = np.empty_like(kid_out)
+        n_out = c_fn(lo_s, hi_s, uf, kid_out, par_out)
+        if timings is not None:
+            timings["sweep_s"] = round(_time.monotonic() - t0, 2)
+        return kid_out[:n_out], par_out[:n_out]
+
     order = np.argsort(hi, kind="stable")
     # python lists: ~2x faster element access than numpy scalars in the
     # interpreted sweep; fall back to numpy when the pointer-per-int list

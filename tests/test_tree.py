@@ -126,3 +126,43 @@ def test_disconnected_graph(spark):
     parent_s, pst_s = spark_tree(spark, edges, 4)
     assert parent_s == parent_o and pst_s == pst_o
     assert sum(1 for p in parent_s if p is None) == 2
+
+
+def test_csweep_matches_interpreted_sweep():
+    """The compiled union-find sweep (r6, _csweep) must emit the exact
+    (kid -> parent) mapping of the interpreted fallback, with and
+    without the Boruvka pre-selection, across random multigraphs."""
+    import numpy as np
+
+    from sheep_spark import _csweep
+
+    if _csweep.loaded() is None:  # no toolchain: the fallback IS the path
+        import pytest
+
+        pytest.skip("C sweep unavailable; interpreted fallback in use")
+
+    def pairs(lo, hi, n, select, force_python):
+        if force_python:
+            real = _csweep.loaded
+            _csweep.loaded = lambda: None
+            try:
+                k, p = tree._eliminate(lo.copy(), hi.copy(), n, select=select)
+            finally:
+                _csweep.loaded = real
+        else:
+            k, p = tree._eliminate(lo.copy(), hi.copy(), n, select=select)
+        assert len(set(k.tolist())) == len(k)  # each kid adopted once
+        return dict(zip(k.tolist(), p.tolist()))
+
+    rng = np.random.default_rng(29)
+    for trial, (n, m) in enumerate([(6, 3), (40, 200), (500, 3000), (4000, 30000)]):
+        a = rng.integers(0, n, size=m)
+        b = rng.integers(0, n, size=m)
+        keep = a != b
+        lo = np.minimum(a, b)[keep].astype(np.int64)
+        hi = np.maximum(a, b)[keep].astype(np.int64)
+        for select in (True, False):
+            assert pairs(lo, hi, n, select, False) == pairs(lo, hi, n, select, True), (
+                trial,
+                select,
+            )
