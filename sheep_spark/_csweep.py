@@ -1,12 +1,14 @@
-"""Optional C implementation of the elimination sweep's union-find loop.
+"""Optional C implementations of the two driver-side sequential loops.
 
-The sweep (tree.py ``_eliminate``) is an inherently sequential
-union-find pass — the one kernel numpy cannot vectorize — and the
-interpreted loop runs at ~1M unions/s/core, the documented serial floor
-of the driver tree build. This module compiles the EXACT same loop
-(path-halving find, adopt, union; integer-for-integer identical to the
-Python version) to a tiny shared library at first use and calls it via
-ctypes on the numpy buffers, ~50x faster.
+The elimination sweep (tree.py ``_eliminate``) and the FFD tree packing
+(partitioner.py ``forward_partition``) are inherently sequential passes
+— the two kernels numpy cannot vectorize — and their interpreted loops
+run at ~1M steps/s/core, the documented serial floor of the driver tree
+build. This module compiles the EXACT same loops (integer-for-integer
+identical to the Python versions; the FFD kid tie-break spelled out as
+the total order python's stable sort produces) to a tiny shared library
+at first use and calls them via ctypes on the numpy buffers, ~30-50x
+faster.
 
 Strictly an accelerator, never a dependency: any failure (no compiler,
 read-only tmp, load error) silently yields the interpreted fallback, so
@@ -28,6 +30,7 @@ import numpy as np
 
 _C_SRC = r"""
 #include <stdint.h>
+#include <stdlib.h>
 
 /* Elimination sweep over (lo, hi) pairs already sorted by hi.
    Exact port of tree.py::_eliminate's loop: for each edge, find the
@@ -57,9 +60,113 @@ int64_t sheep_sweep(const int64_t *lo, const int64_t *hi, int64_t n_edges,
     }
     return n_out;
 }
+
+/* Kid ordering for the FFD cut step: weight DESC, jnid ASC — the same
+   total order python's STABLE list.sort(key=-comp) produces over the
+   ascending-jnid kids slice (jnids are distinct, so this comparator is
+   deterministic even though qsort itself is not stable). */
+typedef struct { int64_t w; int64_t id; } ffd_kid;
+
+static int ffd_kid_cmp(const void *a, const void *b) {
+    const ffd_kid *x = (const ffd_kid *)a, *y = (const ffd_kid *)b;
+    if (x->w != y->w) return (x->w > y->w) ? -1 : 1;   /* weight desc */
+    return (x->id < y->id) ? -1 : 1;                   /* jnid asc */
+}
+
+/* FFD tree packing — exact port of partitioner.py::forward_partition.
+   parent: jnid-indexed (-1 roots, parent > kid); comp: per-node weight,
+   MUTATED into accumulated component weights exactly like the python
+   `comp` list; kid_order/par_sorted: stable argsort of parent and the
+   sorted parents (the kids(j) index); parts: out, preinit -1;
+   part_size: bin scratch of `cap` slots; ks: scratch of n ffd_kid.
+   Returns the number of bins opened, or -1 if cap would overflow
+   (caller falls back to the interpreted path). */
+int64_t sheep_ffd(const int64_t *parent, int64_t n, int64_t *comp,
+                  const int64_t *kid_order, const int64_t *par_sorted,
+                  int64_t max_component, int64_t *parts,
+                  int64_t *part_size, int64_t cap, ffd_kid *ks) {
+    int64_t n_bins = 0;
+    for (int64_t j = 0; j < n; j++) {
+        int64_t cj = comp[j];
+        if (cj > max_component) {
+            /* ks = kids_of(j): the contiguous par_sorted slice */
+            int64_t lo = 0, hi = n;
+            while (lo < hi) {  /* lower bound */
+                int64_t mid = (lo + hi) / 2;
+                if (par_sorted[mid] < j) lo = mid + 1; else hi = mid;
+            }
+            int64_t lo2 = lo, hi2 = n;
+            while (lo2 < hi2) {  /* upper bound */
+                int64_t mid = (lo2 + hi2) / 2;
+                if (par_sorted[mid] <= j) lo2 = mid + 1; else hi2 = mid;
+            }
+            int64_t nk = lo2 - lo;
+            for (int64_t i = 0; i < nk; i++) {
+                int64_t k = kid_order[lo + i];
+                ks[i].w = comp[k];   /* kids precede j: weights final */
+                ks[i].id = k;
+            }
+            qsort(ks, (size_t)nk, sizeof(ffd_kid), ffd_kid_cmp);
+            while (comp[j] > max_component) {
+                int64_t before = comp[j];
+                for (int64_t i = 0; i < nk; i++) {
+                    if (comp[j] <= max_component) break;
+                    int64_t kid = ks[i].id;
+                    if (parts[kid] != -1) continue;
+                    int64_t ck = comp[kid];
+                    for (int64_t cur = 0; cur < n_bins; cur++) {
+                        if (part_size[cur] + ck <= max_component) {
+                            comp[j] -= ck;
+                            part_size[cur] += ck;
+                            parts[kid] = cur;
+                            break;
+                        }
+                    }
+                }
+                if (comp[j] > max_component) {
+                    /* no-progress guard (reference's latent infinite
+                       loop, partition.cpp:109-131) */
+                    if (before == comp[j] && n_bins > 0 &&
+                        part_size[n_bins - 1] == 0)
+                        break;
+                    if (n_bins >= cap) return -1;
+                    part_size[n_bins++] = 0;
+                }
+            }
+            cj = comp[j];
+        }
+        int64_t p = parent[j];
+        if (p >= 0) comp[p] += cj;
+    }
+    /* push labels down to uncut vertices; pack roots last-fit */
+    for (int64_t j = n - 1; j >= 0; j--) {
+        if (parts[j] == -1 && parent[j] >= 0) parts[j] = parts[parent[j]];
+        if (parts[j] == -1 && comp[j] > max_component) {
+            if (n_bins >= cap) return -1;
+            part_size[n_bins] = comp[j];
+            parts[j] = n_bins;
+            n_bins++;
+        }
+        while (parts[j] == -1) {
+            for (int64_t cur = n_bins - 1; cur >= 0; cur--) {
+                if (part_size[cur] + comp[j] <= max_component) {
+                    part_size[cur] += comp[j];
+                    parts[j] = cur;
+                    break;
+                }
+            }
+            if (parts[j] == -1) {
+                if (n_bins >= cap) return -1;
+                part_size[n_bins++] = 0;
+            }
+        }
+    }
+    return n_bins;
+}
 """
 
 _cached_fn = None
+_cached_ffd = None
 _load_attempted = False
 
 
@@ -100,31 +207,47 @@ def loaded():
     are int64 C-contiguous numpy arrays, lo/hi sorted by hi, uf the
     identity permutation of n_vertices (mutated in place).
     """
-    global _cached_fn, _load_attempted
+    _load()
+    return _cached_fn
+
+
+def loaded_ffd():
+    """The compiled FFD packer as a python callable, or None (fallback).
+
+    Signature: fn(parent, comp, kid_order, par_sorted, max_component,
+    parts, part_size, ks) -> n_bins (or -1 on bin-capacity overflow);
+    parent/kid_order/par_sorted int64 inputs; comp MUTATED (pass a
+    copy of weight); parts preinit -1; part_size a cap-slot scratch;
+    ks an (n, 2) int64 scratch.
+    """
+    _load()
+    return _cached_ffd
+
+
+def _load() -> None:
+    global _cached_fn, _cached_ffd, _load_attempted
     if _load_attempted:
-        return _cached_fn
+        return
     _load_attempted = True
     if os.environ.get("SPARK_GRAFT_NO_CSWEEP") == "1":
-        return None
+        return
     so_path = _compile()
     if so_path is None:
-        return None
+        return
+    p64 = ctypes.POINTER(ctypes.c_int64)
     try:
         lib = ctypes.CDLL(so_path)
         raw = lib.sheep_sweep
         raw.restype = ctypes.c_int64
-        raw.argtypes = [
-            ctypes.POINTER(ctypes.c_int64),
-            ctypes.POINTER(ctypes.c_int64),
-            ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int64),
-            ctypes.POINTER(ctypes.c_int64),
-            ctypes.POINTER(ctypes.c_int64),
+        raw.argtypes = [p64, p64, ctypes.c_int64, p64, p64, p64]
+        raw_ffd = lib.sheep_ffd
+        raw_ffd.restype = ctypes.c_int64
+        raw_ffd.argtypes = [
+            p64, ctypes.c_int64, p64, p64, p64, ctypes.c_int64,
+            p64, p64, ctypes.c_int64, ctypes.c_void_p,
         ]
     except Exception:
-        return None
-
-    p64 = ctypes.POINTER(ctypes.c_int64)
+        return
 
     def fn(lo: np.ndarray, hi: np.ndarray, uf: np.ndarray,
            kid_out: np.ndarray, par_out: np.ndarray) -> int:
@@ -137,5 +260,21 @@ def loaded():
             par_out.ctypes.data_as(p64),
         )
 
+    def fn_ffd(parent: np.ndarray, comp: np.ndarray, kid_order: np.ndarray,
+               par_sorted: np.ndarray, max_component: int, parts: np.ndarray,
+               part_size: np.ndarray, ks: np.ndarray) -> int:
+        return raw_ffd(
+            parent.ctypes.data_as(p64),
+            len(parent),
+            comp.ctypes.data_as(p64),
+            kid_order.ctypes.data_as(p64),
+            par_sorted.ctypes.data_as(p64),
+            max_component,
+            parts.ctypes.data_as(p64),
+            part_size.ctypes.data_as(p64),
+            len(part_size),
+            ks.ctypes.data,
+        )
+
     _cached_fn = fn
-    return fn
+    _cached_ffd = fn_ffd

@@ -45,20 +45,39 @@ def forward_partition(
     n = len(parent)
     total = int(weight.sum())
     max_component = int((total // num_parts) * balance_factor)
-    # Python-list state: ~5× faster scalar access than numpy in the two
-    # O(V) interpreted sweeps below (same trade as tree._eliminate); at
-    # V=4M this stage dropped ~15-28 s → ~4 s. Semantics are identical
-    # to the numpy form commit-for-commit.
-    parent_l = np.asarray(parent, dtype=np.int64).tolist()
-    comp = np.asarray(weight, dtype=np.int64).tolist()
-    parts = [-1] * n
 
     # children index at C speed: jnids sorted by parent; kids(j) is the
     # contiguous slice found by binary search (only cut nodes — a small
     # set — ever ask for it, so no per-node list building)
-    par_np = np.asarray(parent, dtype=np.int64)
-    kid_order = np.argsort(par_np, kind="stable")
-    par_sorted = par_np[kid_order]
+    par_np = np.ascontiguousarray(parent, dtype=np.int64)
+    kid_order = np.argsort(par_np, kind="stable").astype(np.int64, copy=False)
+    par_sorted = np.ascontiguousarray(par_np[kid_order])
+
+    # Compiled FFD (r6, _csweep.sheep_ffd): the exact same two O(V)
+    # sequential sweeps at C speed (kid tie-break made explicitly
+    # (weight desc, jnid asc) — the total order python's stable sort
+    # produces). Any failure, or the (never-observed) bin-capacity
+    # overflow, falls through to the interpreted path below.
+    from . import _csweep
+
+    c_ffd = _csweep.loaded_ffd()
+    if c_ffd is not None:
+        comp_c = np.ascontiguousarray(weight, dtype=np.int64).copy()
+        parts_c = np.full(n, -1, dtype=np.int64)
+        part_size_c = np.zeros(3 * n + 16, dtype=np.int64)
+        ks = np.empty((max(n, 1), 2), dtype=np.int64)
+        nb = c_ffd(par_np, comp_c, kid_order, par_sorted, max_component,
+                   parts_c, part_size_c, ks)
+        if nb >= 0:
+            return parts_c, max_component
+
+    # Python-list state: ~5× faster scalar access than numpy in the two
+    # O(V) interpreted sweeps below (same trade as tree._eliminate); at
+    # V=4M this stage dropped ~15-28 s → ~4 s. Semantics are identical
+    # to the numpy form commit-for-commit.
+    parent_l = par_np.tolist()
+    comp = np.asarray(weight, dtype=np.int64).tolist()
+    parts = [-1] * n
 
     def kids_of(j: int) -> list[int]:
         lo = int(np.searchsorted(par_sorted, j, side="left"))

@@ -318,3 +318,52 @@ def test_apply_down_reassign_crash_recovery(spark, tmp_path):
     after = {(r.src, r.dst, r.part) for r in spark.read.parquet(path).collect()}
     assert after == before
     moves.unpersist()
+
+
+def test_cffd_matches_interpreted_ffd():
+    """The compiled FFD packer (r6, _csweep.sheep_ffd) must reproduce
+    the interpreted forward_partition exactly — same parts array, same
+    max_component — across random trees, ks, and degenerate shapes."""
+    import numpy as np
+
+    from sheep_spark import _csweep
+
+    if _csweep.loaded_ffd() is None:
+        import pytest
+
+        pytest.skip("C FFD unavailable; interpreted fallback in use")
+
+    def py_ffd(parent, weight, k):
+        real = _csweep.loaded_ffd
+        _csweep.loaded_ffd = lambda: None
+        try:
+            return partitioner.forward_partition(parent, weight, k)
+        finally:
+            _csweep.loaded_ffd = real
+
+    rng = np.random.default_rng(11)
+    for seed in range(12):
+        n = int(rng.integers(2, 2000))
+        r = np.random.default_rng(seed)
+        parent = np.full(n, -1, dtype=np.int64)
+        for j in range(n - 1):
+            if r.random() > 0.05:
+                parent[j] = int(r.integers(j + 1, n))
+        weight = r.integers(0, 50, size=n).astype(np.int64)
+        for k in (2, 8, 64):
+            a, mca = partitioner.forward_partition(parent, weight, k)
+            b, mcb = py_ffd(parent, weight, k)
+            assert mca == mcb and np.array_equal(a, b), (seed, n, k)
+    # degenerates: single node, flat star with oversize kids, zero weights
+    for parent, weight in [
+        ([-1], [0]),
+        ([4, 4, 4, 4, -1], [9, 9, 9, 9, 1]),
+        ([1, 2, 3, 4, -1], [0, 0, 0, 0, 0]),
+        ([1, 2, 3, 4, -1], [1000, 1, 1, 1, 1]),
+    ]:
+        pa = np.asarray(parent, dtype=np.int64)
+        wa = np.asarray(weight, dtype=np.int64)
+        for k in (1, 2, 1000):
+            a, _ = partitioner.forward_partition(pa, wa, k)
+            b, _ = py_ffd(pa, wa, k)
+            assert np.array_equal(a, b), (parent, weight, k)
