@@ -58,30 +58,36 @@ def main() -> None:
 
     out: dict = {"n_edges_undirected": n_edges, "n_vertices": V}
 
-    t0 = time.time()
-    sl, sh = tree._msf_select(lo, hi, V)
-    out["select_s"] = round(time.time() - t0, 2)
-    out["selected_edges"] = len(sl)
-    out["retention"] = round(len(sl) / n_edges, 4)
+    from sheep_spark import _csweep
 
+    # Default kernel: the compiled counting-sort + sweep when available
+    # (r6 late), with fused pre/pst bincounts; phases from inside C.
+    tm: dict = {}
     t0 = time.time()
-    kid, par = tree._eliminate(sl, sh, V, select=False)
-    sweep_s = time.time() - t0
-    out["sweep_selected_s"] = round(sweep_s, 2)
+    kid, par = tree._eliminate(lo, hi, V, timings=tm)
+    out["kernel_s"] = round(time.time() - t0, 2)
+    out["kernel_detail"] = tm
     out["tree_edges"] = len(kid)
-    out["with_select_total_s"] = round(out["select_s"] + sweep_s, 2)
-    out["effective_rate_Medges_per_s"] = round(
-        n_edges / (out["select_s"] + sweep_s) / 1e6, 2
-    )
+    out["kernel_rate_Medges_per_s"] = round(n_edges / out["kernel_s"] / 1e6, 2)
+    out["sort_sweep_compiled"] = _csweep.loaded_sort_sweep() is not None
 
     if not SKIP_NOSELECT:
-        t0 = time.time()
-        kid2, par2 = tree._eliminate(lo, hi, V, select=False)
-        out["sweep_noselect_s"] = round(time.time() - t0, 2)
-        out["noselect_rate_Medges_per_s"] = round(n_edges / (time.time() - t0) / 1e6, 2)
+        # Legacy path for comparison: Boruvka select + packed sort +
+        # (C or interpreted) sweep — what the kernel runs when the
+        # sort-sweep .so is unavailable.
+        real_ss = _csweep.loaded_sort_sweep
+        _csweep.loaded_sort_sweep = lambda: None
+        try:
+            tm2: dict = {}
+            t0 = time.time()
+            kid2, par2 = tree._eliminate(lo, hi, V, timings=tm2)
+            out["legacy_select_sweep_s"] = round(time.time() - t0, 2)
+            out["legacy_detail"] = tm2
+        finally:
+            _csweep.loaded_sort_sweep = real_ss
         assert set(zip(kid.tolist(), par.tolist())) == set(
             zip(kid2.tolist(), par2.tolist())
-        ), "selection changed the tree!"
+        ), "kernel paths disagree!"
         out["outputs_identical"] = True
 
     print(json.dumps(out))

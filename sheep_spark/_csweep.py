@@ -163,10 +163,95 @@ int64_t sheep_ffd(const int64_t *parent, int64_t n, int64_t *comp,
     }
     return n_bins;
 }
+
+#include <time.h>
+
+static double sheep_now(void) {
+    struct timespec ts; clock_gettime(CLOCK_MONOTONIC, &ts);
+    return ts.tv_sec + ts.tv_nsec * 1e-9;
+}
+
+/* Counting-sort the edges by hi (bucket = hi value, O(E + V) — the hi
+   of every edge in bucket x is x itself, so only lo is materialized
+   sorted), then run the elimination sweep over the buckets ascending.
+   One call replaces _msf_select + np.sort + sheep_sweep AND the two
+   full-width bincounts of build_tree_arrays: pre_w[v] = #edges with
+   hi == v falls out of the histogram pass, pst_w[v] = #edges with
+   lo == v accumulates during the scatter. Requires ids < 2^31
+   (int32 internals — the kernel is memory-bound, so halving element
+   width halves its traffic) and n_edges < 2^31 (offsets live in cnt's
+   int32 slots). uf is initialized to the identity HERE; lo_s is an
+   n_edges int32 scratch, cnt an (n_vertices+1) int32 scratch,
+   kid/par int64 outs with min(n_edges, n_vertices) slots, pre_w/pst_w
+   n_vertices int64 outs, phases a double[2] out (sort wall, sweep
+   wall). Returns the number of (kid, parent) pairs emitted, or -2 if
+   an id falls outside [0, n_vertices) — checked BEFORE each use (the
+   predictable branch is ~free), where the numpy paths would raise
+   IndexError and unchecked C would corrupt memory. */
+int64_t sheep_sort_sweep(const int64_t *lo, const int64_t *hi,
+                         int64_t n_edges, int64_t n_vertices,
+                         int32_t *lo_s, int32_t *cnt, int32_t *uf,
+                         int64_t *kid_out, int64_t *par_out,
+                         int64_t *pre_w, int64_t *pst_w, double *phases) {
+    double t0 = sheep_now();
+    for (int64_t v = 0; v <= n_vertices; v++) cnt[v] = 0;
+    for (int64_t i = 0; i < n_edges; i++) {
+        if (i + 64 < n_edges) __builtin_prefetch(&cnt[hi[i + 64]], 1, 1);
+        if ((uint64_t)hi[i] >= (uint64_t)n_vertices) return -2;
+        cnt[hi[i]]++;
+    }
+    int64_t run = 0;
+    for (int64_t v = 0; v < n_vertices; v++) {
+        int32_t c = cnt[v];
+        pre_w[v] = c;
+        pst_w[v] = 0;
+        uf[v] = (int32_t)v;
+        cnt[v] = (int32_t)run;
+        run += c;
+    }
+    for (int64_t i = 0; i < n_edges; i++) {
+        if (i + 64 < n_edges) {
+            __builtin_prefetch(&cnt[hi[i + 64]], 1, 1);
+            __builtin_prefetch(&pst_w[lo[i + 64]], 1, 1);
+        }
+        if ((uint64_t)lo[i] >= (uint64_t)n_vertices) return -2;
+        int32_t l = (int32_t)lo[i];
+        lo_s[cnt[hi[i]]++] = l;
+        pst_w[l]++;
+    }
+    phases[0] = sheep_now() - t0;
+    t0 = sheep_now();
+    /* cnt[x] is now the END offset of bucket x; walk buckets ascending
+       — exactly the hi-sorted sweep of sheep_sweep, with hi implied */
+    int64_t n_out = 0, pos = 0;
+    for (int64_t x = 0; x < n_vertices; x++) {
+        int64_t end = cnt[x];
+        for (; pos < end; pos++) {
+            if (pos + 16 < n_edges) __builtin_prefetch(&uf[lo_s[pos + 16]], 0, 1);
+            int32_t r = lo_s[pos];
+            int32_t p = uf[r];
+            while (p != r) {       /* path halving, as everywhere else */
+                int32_t pp = uf[p];
+                uf[r] = pp;
+                r = pp;
+                p = uf[r];
+            }
+            if (r != (int32_t)x) {
+                kid_out[n_out] = r;
+                par_out[n_out] = x;
+                n_out++;
+                uf[r] = (int32_t)x;
+            }
+        }
+    }
+    phases[1] = sheep_now() - t0;
+    return n_out;
+}
 """
 
 _cached_fn = None
 _cached_ffd = None
+_cached_sort_sweep = None
 _load_attempted = False
 
 
@@ -224,8 +309,22 @@ def loaded_ffd():
     return _cached_ffd
 
 
+def loaded_sort_sweep():
+    """The compiled counting-sort + sweep as a python callable, or None.
+
+    Signature: fn(lo, hi, n_vertices, kid_out, par_out, pre_w, pst_w)
+    -> (n_out, sort_s, sweep_s); lo/hi C-contiguous int64 inputs in ANY
+    order with values in [0, n_vertices) and n_vertices, n_edges < 2^31
+    (caller's guard); kid_out/par_out int64 with min(n_edges,
+    n_vertices) slots; pre_w/pst_w int64 n_vertices slots receiving
+    bincount(hi)/bincount(lo) as a free byproduct. Scratch (sorted-lo,
+    counts, union-find) is allocated per call inside the wrapper."""
+    _load()
+    return _cached_sort_sweep
+
+
 def _load() -> None:
-    global _cached_fn, _cached_ffd, _load_attempted
+    global _cached_fn, _cached_ffd, _cached_sort_sweep, _load_attempted
     if _load_attempted:
         return
     _load_attempted = True
@@ -245,6 +344,14 @@ def _load() -> None:
         raw_ffd.argtypes = [
             p64, ctypes.c_int64, p64, p64, p64, ctypes.c_int64,
             p64, p64, ctypes.c_int64, ctypes.c_void_p,
+        ]
+        p32 = ctypes.POINTER(ctypes.c_int32)
+        pdb = ctypes.POINTER(ctypes.c_double)
+        raw_ss = lib.sheep_sort_sweep
+        raw_ss.restype = ctypes.c_int64
+        raw_ss.argtypes = [
+            p64, p64, ctypes.c_int64, ctypes.c_int64,
+            p32, p32, p32, p64, p64, p64, p64, pdb,
         ]
     except Exception:
         return
@@ -276,5 +383,34 @@ def _load() -> None:
             ks.ctypes.data,
         )
 
+    def fn_sort_sweep(lo: np.ndarray, hi: np.ndarray, n_vertices: int,
+                      kid_out: np.ndarray, par_out: np.ndarray,
+                      pre_w: np.ndarray, pst_w: np.ndarray):
+        lo_s = np.empty(len(lo), dtype=np.int32)
+        cnt = np.empty(n_vertices + 1, dtype=np.int32)
+        uf = np.empty(n_vertices, dtype=np.int32)
+        phases = np.zeros(2, dtype=np.float64)
+        n_out = raw_ss(
+            lo.ctypes.data_as(p64),
+            hi.ctypes.data_as(p64),
+            len(lo),
+            n_vertices,
+            lo_s.ctypes.data_as(p32),
+            cnt.ctypes.data_as(p32),
+            uf.ctypes.data_as(p32),
+            kid_out.ctypes.data_as(p64),
+            par_out.ctypes.data_as(p64),
+            pre_w.ctypes.data_as(p64),
+            pst_w.ctypes.data_as(p64),
+            phases.ctypes.data_as(pdb),
+        )
+        if n_out == -2:
+            raise ValueError(
+                "sheep_sort_sweep: an edge endpoint falls outside "
+                f"[0, {n_vertices}) — pos-space input expected"
+            )
+        return n_out, float(phases[0]), float(phases[1])
+
     _cached_fn = fn
     _cached_ffd = fn_ffd
+    _cached_sort_sweep = fn_sort_sweep

@@ -232,7 +232,8 @@ def _msf_select(lo: np.ndarray, hi: np.ndarray, n_vertices: int,
 
 def _eliminate(lo: np.ndarray, hi: np.ndarray, n_vertices: int,
                select: bool = True,
-               timings: dict | None = None) -> tuple[np.ndarray, np.ndarray]:
+               timings: dict | None = None,
+               weights_out: dict | None = None) -> tuple[np.ndarray, np.ndarray]:
     """Union-find elimination sweep over (lo, hi) pairs sorted by hi.
 
     Returns (kid, parent) tree-edge arrays. Exact semantics of
@@ -240,21 +241,51 @@ def _eliminate(lo: np.ndarray, hi: np.ndarray, n_vertices: int,
     ascending == inserting vertices in sequence order; adopting
     find(lo) == adopting the neighbor's component root.
 
+    Fastest path (r6 late): when ids fit int32, ONE compiled call
+    (_csweep.sheep_sort_sweep) counting-sorts the edges by hi (O(E+V),
+    replacing the packed np.sort) and sweeps every edge at C speed —
+    measured 2.2-2.4 s vs 4.4 s for select + packed sort + C sweep at
+    35M edges / V=4M, identical (kid, parent) sets (equal-hi order is
+    free to differ: same-hi edges commute, the law the packed value
+    sort already relied on). Boruvka selection is SKIPPED there: its
+    numpy rounds cost more than the C sweep's extra traffic once the
+    sort is O(E). ``weights_out`` (dict) receives the fused
+    ``pre_weight``/``pst_weight`` bincounts that fall out of that
+    kernel's histogram/scatter passes for free.
+
     ``select=True`` runs the vectorized Boruvka pass (_msf_select)
-    first, dropping union-ineffective edges at numpy speed so the Python
-    sweep touches only the surviving ≤V-1 forest edges (plus an exactly-
-    handled early-exit remainder). On any graph with E ≫ V the sweep
-    input shrinks ~E/V×: at most V-1 edges can ever cause a union, so
-    selection pays everywhere the gate admits it — raw driver sweeps,
-    stage-1 slices, and the merge rounds alike. (Round 2 disabled it on
-    the driver path off a mis-measured "99.3% union-effective" figure;
-    that was _msf_select's old 0.75 early-exit quitting after one round,
-    i.e. selection RETENTION, not input effectiveness — on a 4.0M-vertex
+    first on the FALLBACK paths, dropping union-ineffective edges at
+    numpy speed so the interpreted sweep touches only the surviving
+    ≤V-1 forest edges (plus an exactly-handled early-exit remainder).
+    On any graph with E ≫ V the sweep input shrinks ~E/V×: at most V-1
+    edges can ever cause a union. (Round 2 disabled it on the driver
+    path off a mis-measured "99.3% union-effective" figure; that was
+    _msf_select's old 0.75 early-exit quitting after one round, i.e.
+    selection RETENTION, not input effectiveness — on a 4.0M-vertex
     35M-edge graph ≤11.4% of edges can union.)
     """
     import time as _time
 
     from . import _csweep
+
+    ss_fn = _csweep.loaded_sort_sweep()
+    if ss_fn is not None and n_vertices < 2**31 and len(lo) < 2**31:
+        lo_c = np.ascontiguousarray(lo, dtype=np.int64)
+        hi_c = np.ascontiguousarray(hi, dtype=np.int64)
+        cap = min(len(lo_c), n_vertices)
+        kid_out = np.empty(cap, dtype=np.int64)
+        par_out = np.empty_like(kid_out)
+        pre_w = np.empty(n_vertices, dtype=np.int64)
+        pst_w = np.empty(n_vertices, dtype=np.int64)
+        n_out, sort_s, sweep_s = ss_fn(lo_c, hi_c, n_vertices,
+                                       kid_out, par_out, pre_w, pst_w)
+        if timings is not None:
+            timings["sort_s"] = round(sort_s, 2)
+            timings["sweep_s"] = round(sweep_s, 2)
+        if weights_out is not None:
+            weights_out["pre_weight"] = pre_w
+            weights_out["pst_weight"] = pst_w
+        return kid_out[:n_out], par_out[:n_out]
 
     if select and len(lo) >= MSF_SELECT_MIN_EDGES:
         t0 = _time.monotonic()
@@ -481,15 +512,22 @@ def build_tree_arrays(lo: np.ndarray, hi: np.ndarray, n_vertices: int,
     import time
 
     t0 = time.monotonic()
-    kid, par = _eliminate(lo, hi, n_vertices, timings=timings)
+    weights: dict = {}
+    kid, par = _eliminate(lo, hi, n_vertices, timings=timings, weights_out=weights)
     if timings is not None:
         timings["kernel_s"] = round(time.monotonic() - t0, 2)
     parent_full = np.full(n_vertices, -1, dtype=np.int64)
     parent_full[kid] = par
     return {
         "parent": parent_full,
-        "pst_weight": np.bincount(lo, minlength=n_vertices).astype(np.int64),
-        "pre_weight": np.bincount(hi, minlength=n_vertices).astype(np.int64),
+        # the compiled sort-sweep emits both bincounts as byproducts of
+        # its histogram/scatter passes; recompute only on fallback paths
+        "pst_weight": weights.get(
+            "pst_weight", np.bincount(lo, minlength=n_vertices).astype(np.int64)
+        ),
+        "pre_weight": weights.get(
+            "pre_weight", np.bincount(hi, minlength=n_vertices).astype(np.int64)
+        ),
     }
 
 

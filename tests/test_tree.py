@@ -143,12 +143,14 @@ def test_csweep_matches_interpreted_sweep():
 
     def pairs(lo, hi, n, select, force_python):
         if force_python:
-            real = _csweep.loaded
+            real, real_ss = _csweep.loaded, _csweep.loaded_sort_sweep
             _csweep.loaded = lambda: None
+            _csweep.loaded_sort_sweep = lambda: None
             try:
                 k, p = tree._eliminate(lo.copy(), hi.copy(), n, select=select)
             finally:
                 _csweep.loaded = real
+                _csweep.loaded_sort_sweep = real_ss
         else:
             k, p = tree._eliminate(lo.copy(), hi.copy(), n, select=select)
         assert len(set(k.tolist())) == len(k)  # each kid adopted once
@@ -166,3 +168,53 @@ def test_csweep_matches_interpreted_sweep():
                 trial,
                 select,
             )
+
+
+def test_sort_sweep_matches_interpreted_and_emits_bincounts():
+    """The compiled counting-sort + sweep (r6 late, _csweep.sheep_sort_sweep)
+    must emit the exact (kid -> parent) mapping of the interpreted path
+    (equal-hi order differs — counting sort keeps input order, the packed
+    value sort uses lo order — but same-hi edges commute), and its fused
+    pre_weight/pst_weight byproducts must equal the numpy bincounts.
+    Covers multigraphs with duplicate edges, a disconnected graph, the
+    empty input, and out-of-range rejection."""
+    from sheep_spark import _csweep
+
+    if _csweep.loaded_sort_sweep() is None:
+        pytest.skip("C sort-sweep unavailable; fallback paths in use")
+
+    def interp(lo, hi, n):
+        real, real_ss = _csweep.loaded, _csweep.loaded_sort_sweep
+        _csweep.loaded = lambda: None
+        _csweep.loaded_sort_sweep = lambda: None
+        try:
+            k, p = tree._eliminate(lo.copy(), hi.copy(), n, select=False)
+        finally:
+            _csweep.loaded = real
+            _csweep.loaded_sort_sweep = real_ss
+        return dict(zip(k.tolist(), p.tolist()))
+
+    rng = np.random.default_rng(83)
+    for n, m in [(5, 2), (60, 400), (700, 5000), (3000, 40000)]:
+        a = rng.integers(0, n, size=m)
+        b = rng.integers(0, n, size=m)
+        keep = a != b
+        lo = np.minimum(a, b)[keep].astype(np.int64)
+        hi = np.maximum(a, b)[keep].astype(np.int64)
+        w: dict = {}
+        k, p = tree._eliminate(lo, hi, n, weights_out=w)
+        assert dict(zip(k.tolist(), p.tolist())) == interp(lo, hi, n)
+        assert np.array_equal(w["pre_weight"], np.bincount(hi, minlength=n))
+        assert np.array_equal(w["pst_weight"], np.bincount(lo, minlength=n))
+
+    # empty input
+    w = {}
+    k, p = tree._eliminate(np.array([], np.int64), np.array([], np.int64), 7,
+                           weights_out=w)
+    assert len(k) == 0 and np.array_equal(w["pre_weight"], np.zeros(7, np.int64))
+
+    # out-of-range ids must raise, not corrupt
+    with pytest.raises(ValueError):
+        tree._eliminate(np.array([0], np.int64), np.array([5], np.int64), 3)
+    with pytest.raises(ValueError):
+        tree._eliminate(np.array([-1], np.int64), np.array([2], np.int64), 3)
