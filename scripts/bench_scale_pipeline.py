@@ -158,22 +158,39 @@ def main() -> None:
     guard_v = int(pv.group(2)) if pv else V
     t0 = time.time()
     seq_t: dict = {}
-    arrs = graph.driver_sequence_arrays(canon, timings=seq_t, ids_fit_int32=guard_v < 2**31)
-    n_vertices = len(arrs["vid"])
-    stages["degree_sequence"] = time.time() - t0
+    # r6 latest: the fused funnel+tree (one collect, then the entire
+    # rank + sort + sweep body in one compiled call; falls back to the
+    # staged driver_sequence_arrays + build_tree_arrays with identical
+    # results). Stage attribution: degree_sequence = collect + rank
+    # share of the call, tree_build = kernel share + the DF upload —
+    # the same boundaries as the staged form, and the same core sum.
+    arrs = graph.driver_sequence_tree_arrays(
+        canon, timings=seq_t, ids_fit_int32=guard_v < 2**31
+    )
+    n_vertices = arrs["n_vertices"]
+    funnel_wall = time.time() - t0
+    kernel_s = seq_t.get("kernel_s", 0.0)
+    stages["degree_sequence"] = funnel_wall - kernel_s
     stages["degree_collect"] = seq_t.get("collect_s", 0.0)
     stages["degree_rank"] = seq_t.get("rank_s", 0.0)
     stages["edges_pos"] = 0.0  # fused: pos-space edges fall out of the rank pass
 
     t0 = time.time()
-    tree_t: dict = {}
-    arrays = tree.build_tree_arrays(arrs["lo"], arrs["hi"], n_vertices, timings=tree_t)
-    t = tree.tree_df_from_arrays(spark, arrays).persist()
+    arrays = {
+        "parent": arrs["parent"],
+        "pst_weight": arrs["pst_weight"],
+        "pre_weight": arrs["pre_weight"],
+    }
+    # count() materializes the upload inside the timed stage; no persist —
+    # nothing downstream re-reads the DF (the FFD/vmeta steps consume the
+    # driver arrays directly) and the 4M-row cache write costs 0.3-0.7 s
+    # for zero reuse (round-5 gotcha: never cache a table scanned <= once)
+    t = tree.tree_df_from_arrays(spark, arrays)
     t.count()
-    stages["tree_build"] = time.time() - t0
+    stages["tree_build"] = kernel_s + (time.time() - t0)
     stages["tree_build_collect"] = 0.0  # fused into degree_collect
-    stages["tree_build_kernel"] = tree_t.get("kernel_s", 0.0)
-    stages["tree_build_select"] = tree_t.get("select_s", 0.0)  # Boruvka share of the kernel
+    stages["tree_build_kernel"] = kernel_s
+    stages["tree_build_select"] = seq_t.get("select_s", 0.0)  # Boruvka share (fallback paths only)
 
     parts_meta = {}
     stages["tree_collect"] = 0.0  # parent/weight arrays never left the driver

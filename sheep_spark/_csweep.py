@@ -247,11 +247,131 @@ int64_t sheep_sort_sweep(const int64_t *lo, const int64_t *hi,
     phases[1] = sheep_now() - t0;
     return n_out;
 }
+
+/* Fused sequence + tree: the whole rank-0 funnel body after the Arrow
+   collect in one call — degree histogram over (src, dst), counting
+   rank by (degree asc, vid asc) (sequence.h:52-63 semantics; the
+   counting sort's vid-ascending placement IS the tie-break), pos-space
+   edge transform, counting sort by hi, union-find sweep — emitting
+   deg_full / pos_full (-1 for isolated vertices), the (kid, parent)
+   tree edges and the pos-indexed pre/pst weights. Exactly equal to
+   the numpy rank pass + sheep_sort_sweep (asserted by pytest); ~1.4x
+   faster at 35M/4M because the gathers, min/max and both sorts fuse
+   into three passes over the edges with int32 temporaries. Same
+   envelope as sheep_sort_sweep: ids and n_edges < 2^31; out-of-range
+   ids return -2 before any use. *out_n receives the non-isolated
+   vertex count n; pre_w/pst_w use slots [0, n); phases = double[3]
+   (hist+rank, edge passes, sweep). */
+int64_t sheep_seq_tree(const int64_t *src, const int64_t *dst,
+                       int64_t n_edges, int64_t m,
+                       int64_t *deg_full,              /* [m] out */
+                       int32_t *pos_full,              /* [m] out */
+                       int32_t *lo_t, int32_t *hi_t,   /* [E] scratch */
+                       int32_t *lo_s,                  /* [E] scratch */
+                       int32_t *cnt,                   /* [m+1] scratch */
+                       int32_t *uf,                    /* [m] scratch */
+                       int64_t *kid_out, int64_t *par_out,  /* [min(E,m)] */
+                       int64_t *pre_w, int64_t *pst_w,      /* [m] out */
+                       int64_t *out_n, double *phases) {
+    double t0 = sheep_now();
+    for (int64_t v = 0; v < m; v++) deg_full[v] = 0;
+    for (int64_t i = 0; i < n_edges; i++) {
+        if ((uint64_t)src[i] >= (uint64_t)m) return -2;
+        if ((uint64_t)dst[i] >= (uint64_t)m) return -2;
+        deg_full[src[i]]++;
+        deg_full[dst[i]]++;
+    }
+    /* counting rank: degree histogram (degree <= 2E but a vertex's
+       degree in a deduped simple graph is <= m-1; cnt has m+1 slots
+       and degrees beyond m cannot occur because each neighbor is
+       distinct — duplicate edges would raise the degree, so clamp-
+       check to be exact on arbitrary multigraph input) */
+    for (int64_t v = 0; v <= m; v++) cnt[v] = 0;
+    int64_t n = 0;
+    int64_t maxd = 0;
+    for (int64_t v = 0; v < m; v++) {
+        int64_t d = deg_full[v];
+        if (d > 0) {
+            if (d > maxd) maxd = d;
+            if (d <= m) cnt[d]++;
+            n++;
+        }
+    }
+    if (maxd > m) return -3;  /* multigraph degree overflow: fall back */
+    int64_t run = 0;
+    for (int64_t d = 1; d <= maxd; d++) {
+        int32_t c = cnt[d]; cnt[d] = (int32_t)run; run += c;
+    }
+    for (int64_t v = 0; v < m; v++) {
+        int64_t d = deg_full[v];
+        if (d > 0) {
+            int32_t p = cnt[d]++;
+            pos_full[v] = p;
+            uf[p] = p;
+        } else {
+            pos_full[v] = -1;
+        }
+    }
+    for (int64_t p = 0; p < n; p++) { pre_w[p] = 0; pst_w[p] = 0; }
+    phases[0] = sheep_now() - t0;
+    t0 = sheep_now();
+    /* pos-space edges + hi histogram (cnt reused: zero [0, n]) */
+    for (int64_t p = 0; p <= n; p++) cnt[p] = 0;
+    for (int64_t i = 0; i < n_edges; i++) {
+        int32_t ps = pos_full[src[i]];
+        int32_t pd = pos_full[dst[i]];
+        int32_t lo = ps < pd ? ps : pd;
+        int32_t hi = ps < pd ? pd : ps;
+        lo_t[i] = lo;
+        hi_t[i] = hi;
+        cnt[hi]++;
+    }
+    run = 0;
+    for (int64_t p = 0; p < n; p++) {
+        int32_t c = cnt[p]; pre_w[p] = c; cnt[p] = (int32_t)run; run += c;
+    }
+    for (int64_t i = 0; i < n_edges; i++) {
+        if (i + 64 < n_edges) {
+            __builtin_prefetch(&cnt[hi_t[i + 64]], 1, 1);
+            __builtin_prefetch(&pst_w[lo_t[i + 64]], 1, 1);
+        }
+        int32_t l = lo_t[i];
+        lo_s[cnt[hi_t[i]]++] = l;
+        pst_w[l]++;
+    }
+    phases[1] = sheep_now() - t0;
+    t0 = sheep_now();
+    int64_t n_out = 0, pos = 0;
+    for (int64_t x = 0; x < n; x++) {
+        int64_t end = cnt[x];
+        for (; pos < end; pos++) {
+            if (pos + 16 < n_edges) __builtin_prefetch(&uf[lo_s[pos + 16]], 0, 1);
+            int32_t r = lo_s[pos];
+            int32_t p = uf[r];
+            while (p != r) {
+                int32_t pp = uf[p];
+                uf[r] = pp;
+                r = pp;
+                p = uf[r];
+            }
+            if (r != (int32_t)x) {
+                kid_out[n_out] = r;
+                par_out[n_out] = x;
+                n_out++;
+                uf[r] = (int32_t)x;
+            }
+        }
+    }
+    phases[2] = sheep_now() - t0;
+    *out_n = n;
+    return n_out;
+}
 """
 
 _cached_fn = None
 _cached_ffd = None
 _cached_sort_sweep = None
+_cached_seq_tree = None
 _load_attempted = False
 
 
@@ -323,8 +443,21 @@ def loaded_sort_sweep():
     return _cached_sort_sweep
 
 
+def loaded_seq_tree():
+    """The fused sequence+tree kernel as a python callable, or None.
+
+    Signature: fn(src, dst, m) -> dict(n, kid, par, deg_full, pos_full,
+    pre_w, pst_w, phases) or None when the kernel declines the input
+    (multigraph degree overflow); raises ValueError on out-of-range
+    ids. src/dst are C-contiguous int64 with values in [0, m);
+    m, n_edges < 2^31 (caller's guard)."""
+    _load()
+    return _cached_seq_tree
+
+
 def _load() -> None:
-    global _cached_fn, _cached_ffd, _cached_sort_sweep, _load_attempted
+    global _cached_fn, _cached_ffd, _cached_sort_sweep, _cached_seq_tree
+    global _load_attempted
     if _load_attempted:
         return
     _load_attempted = True
@@ -352,6 +485,13 @@ def _load() -> None:
         raw_ss.argtypes = [
             p64, p64, ctypes.c_int64, ctypes.c_int64,
             p32, p32, p32, p64, p64, p64, p64, pdb,
+        ]
+        raw_st = lib.sheep_seq_tree
+        raw_st.restype = ctypes.c_int64
+        raw_st.argtypes = [
+            p64, p64, ctypes.c_int64, ctypes.c_int64,
+            p64, p32, p32, p32, p32, p32, p32,
+            p64, p64, p64, p64, p64, pdb,
         ]
     except Exception:
         return
@@ -411,6 +551,60 @@ def _load() -> None:
             )
         return n_out, float(phases[0]), float(phases[1])
 
+    def fn_seq_tree(src: np.ndarray, dst: np.ndarray, m: int):
+        n_edges = len(src)
+        deg_full = np.empty(m, dtype=np.int64)
+        pos_full = np.empty(m, dtype=np.int32)
+        lo_t = np.empty(n_edges, dtype=np.int32)
+        hi_t = np.empty(n_edges, dtype=np.int32)
+        lo_s = np.empty(n_edges, dtype=np.int32)
+        cnt = np.empty(m + 1, dtype=np.int32)
+        uf = np.empty(m, dtype=np.int32)
+        cap = min(n_edges, m)
+        kid_out = np.empty(cap, dtype=np.int64)
+        par_out = np.empty_like(kid_out)
+        pre_w = np.empty(m, dtype=np.int64)
+        pst_w = np.empty(m, dtype=np.int64)
+        out_n = np.zeros(1, dtype=np.int64)
+        phases = np.zeros(3, dtype=np.float64)
+        n_out = raw_st(
+            src.ctypes.data_as(p64),
+            dst.ctypes.data_as(p64),
+            n_edges,
+            m,
+            deg_full.ctypes.data_as(p64),
+            pos_full.ctypes.data_as(p32),
+            lo_t.ctypes.data_as(p32),
+            hi_t.ctypes.data_as(p32),
+            lo_s.ctypes.data_as(p32),
+            cnt.ctypes.data_as(p32),
+            uf.ctypes.data_as(p32),
+            kid_out.ctypes.data_as(p64),
+            par_out.ctypes.data_as(p64),
+            pre_w.ctypes.data_as(p64),
+            pst_w.ctypes.data_as(p64),
+            out_n.ctypes.data_as(p64),
+            phases.ctypes.data_as(pdb),
+        )
+        if n_out == -2:
+            raise ValueError(
+                f"sheep_seq_tree: an endpoint falls outside [0, {m})"
+            )
+        if n_out == -3:  # multigraph degree overflow: caller falls back
+            return None
+        n = int(out_n[0])
+        return {
+            "n": n,
+            "kid": kid_out[:n_out],
+            "par": par_out[:n_out],
+            "deg_full": deg_full,
+            "pos_full": pos_full,
+            "pre_w": pre_w[:n],
+            "pst_w": pst_w[:n],
+            "phases": (float(phases[0]), float(phases[1]), float(phases[2])),
+        }
+
     _cached_fn = fn
     _cached_ffd = fn_ffd
     _cached_sort_sweep = fn_sort_sweep
+    _cached_seq_tree = fn_seq_tree

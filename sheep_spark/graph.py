@@ -199,10 +199,15 @@ def driver_sequence_arrays(canon: DataFrame, timings: dict | None = None,
     back to int64 on arrival, so results are bit-identical (asserted by
     test_fused_driver_funnel_int32_transfer).
     """
-    import time
+    src, dst = _collect_canon_endpoints(canon, timings, ids_fit_int32)
+    return _sequence_from_endpoints(src, dst, dense_vid_limit, timings)
 
-    import numpy as np
 
+def _collect_canon_endpoints(canon: DataFrame, timings: dict | None,
+                             ids_fit_int32: bool):
+    """Arrow-collect the canonical half's (src, dst) as int64 arrays,
+    with the int32 transfer + wrapped-id rejection (shared by the
+    sequence funnel and the fused sequence+tree funnel)."""
     from .tree import collect_int64_columns
 
     if ids_fit_int32:
@@ -225,6 +230,16 @@ def driver_sequence_arrays(canon: DataFrame, timings: dict | None = None,
             "id >= 2^31 wrapped in the JVM-side cast; re-run without "
             "ids_fit_int32 (int64 transfer)"
         )
+    return src, dst
+
+
+def _sequence_from_endpoints(src, dst, dense_vid_limit: int,
+                             timings: dict | None = None) -> dict:
+    """The numpy body of driver_sequence_arrays (post-collect)."""
+    import time
+
+    import numpy as np
+
     t0 = time.monotonic()
     m = int(max(src.max(), dst.max())) + 1 if len(src) else 0
     if len(src) and src.min() >= 0 and dst.min() >= 0 and m <= dense_vid_limit:
@@ -255,6 +270,72 @@ def driver_sequence_arrays(canon: DataFrame, timings: dict | None = None,
     if timings is not None:
         timings["rank_s"] = round(time.monotonic() - t0, 2)
     return {"vid": vid, "degree": degree, "pos": pos, "lo": lo, "hi": hi}
+
+
+def driver_sequence_tree_arrays(canon: DataFrame, timings: dict | None = None,
+                                dense_vid_limit: int = 500_000_000,
+                                ids_fit_int32: bool = False) -> dict:
+    """Fused funnel AND tree: one Arrow collect → degrees, sequence
+    pos, and the elimination-tree arrays, with the entire post-collect
+    body in ONE compiled call when ids are dense and fit int32
+    (_csweep.sheep_seq_tree: degree histogram → counting rank →
+    pos-space edges → counting sort by hi → union-find sweep, with the
+    pre/pst weights falling out of its histogram passes). The pos-space
+    (lo, hi) edge list is never materialized driver-side as numpy
+    arrays — the kernel consumes its int32 temporaries internally.
+
+    Exactly equal to driver_sequence_arrays + tree.build_tree_arrays
+    (the fallback whenever the compiled kernel is unavailable or
+    declines the input), asserted by
+    tests/test_graph.py::test_fused_seq_tree_matches_staged. Same
+    envelope/caps as those two (DRIVER_TREE_MAX_EDGES gating is the
+    caller's, as before).
+
+    Returns dict(vid, degree, pos, n_vertices, parent, pst_weight,
+    pre_weight); parent is pos-indexed with -1 roots.
+    """
+    import time
+
+    import numpy as np
+
+    from . import _csweep
+    from .tree import build_tree_arrays
+
+    src, dst = _collect_canon_endpoints(canon, timings, ids_fit_int32)
+    st_fn = _csweep.loaded_seq_tree()
+    if st_fn is not None and len(src) and len(src) < 2**31:
+        mn = int(min(src.min(), dst.min()))
+        m = int(max(src.max(), dst.max())) + 1
+        if mn >= 0 and m <= dense_vid_limit and m < 2**31:
+            t0 = time.monotonic()
+            res = st_fn(np.ascontiguousarray(src), np.ascontiguousarray(dst), m)
+            if res is not None:
+                vid = np.flatnonzero(res["deg_full"])
+                degree = res["deg_full"][vid]
+                pos = res["pos_full"][vid].astype(np.int64)
+                n = res["n"]
+                parent_full = np.full(n, -1, dtype=np.int64)
+                parent_full[res["kid"]] = res["par"]
+                if timings is not None:
+                    ph = res["phases"]
+                    timings["rank_s"] = round(ph[0], 2)
+                    timings["sort_s"] = round(ph[1], 2)
+                    timings["sweep_s"] = round(ph[2], 2)
+                    # kernel = everything after the rank phase,
+                    # including the driver-side assembly gathers
+                    timings["kernel_s"] = round(time.monotonic() - t0 - ph[0], 2)
+                return {
+                    "vid": vid, "degree": degree, "pos": pos,
+                    "n_vertices": n, "parent": parent_full,
+                    "pst_weight": res["pst_w"], "pre_weight": res["pre_w"],
+                }
+    arrs = _sequence_from_endpoints(src, dst, dense_vid_limit, timings)
+    n = len(arrs["vid"])
+    arrays = build_tree_arrays(arrs["lo"], arrs["hi"], n, timings=timings)
+    return {
+        "vid": arrs["vid"], "degree": arrs["degree"], "pos": arrs["pos"],
+        "n_vertices": n, **arrays,
+    }
 
 
 def vertices_df_from_arrays(spark: SparkSession, vid, degree, pos) -> DataFrame:

@@ -164,3 +164,49 @@ def test_fused_driver_funnel_int32_promise_violation_raises(spark):
             graph.driver_sequence_arrays(canon, ids_fit_int32=True)
     finally:
         spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def test_fused_seq_tree_matches_staged(spark):
+    """driver_sequence_tree_arrays (r6 latest: one compiled call for the
+    whole post-collect funnel + tree body) must reproduce
+    driver_sequence_arrays + build_tree_arrays exactly — vid/degree/pos,
+    parent, and both weight vectors — on the compiled path AND the
+    forced-fallback path, dense and sparse ids alike."""
+    import numpy as np
+
+    from sheep_spark import _csweep, graph, tree
+    from tests.conftest import random_graph
+
+    base = random_graph(400, 1600, seed=55)
+    for shift, label in ((0, "dense"), (10**12, "sparse")):
+        edges = [(a + shift, b + shift) for a, b in base]
+        raw = spark.createDataFrame(edges, "src long, dst long")
+        canon = graph.symmetrize_canonical(raw).persist()
+
+        ref = graph.driver_sequence_arrays(canon)
+        n = len(ref["vid"])
+        ref_arrays = tree.build_tree_arrays(ref["lo"], ref["hi"], n)
+
+        fused = graph.driver_sequence_tree_arrays(canon)
+        # forced fallback (kernel unavailable) must also agree
+        real = _csweep.loaded_seq_tree
+        _csweep.loaded_seq_tree = lambda: None
+        try:
+            fallback = graph.driver_sequence_tree_arrays(canon)
+        finally:
+            _csweep.loaded_seq_tree = real
+
+        for out in (fused, fallback):
+            assert out["n_vertices"] == n, label
+            assert np.array_equal(out["vid"], ref["vid"]), label
+            assert np.array_equal(out["degree"], ref["degree"]), label
+            assert np.array_equal(out["pos"], ref["pos"]), label
+            assert np.array_equal(out["parent"], ref_arrays["parent"]), label
+            assert np.array_equal(out["pst_weight"], ref_arrays["pst_weight"]), label
+            assert np.array_equal(out["pre_weight"], ref_arrays["pre_weight"]), label
+        canon.unpersist()
+
+    # empty graph
+    empty = spark.createDataFrame([], "src long, dst long")
+    out = graph.driver_sequence_tree_arrays(empty)
+    assert out["n_vertices"] == 0 and len(out["parent"]) == 0
