@@ -261,8 +261,11 @@ int64_t sheep_sort_sweep(const int64_t *lo, const int64_t *hi,
    envelope as sheep_sort_sweep: ids and n_edges < 2^31; out-of-range
    ids return -2 before any use. *out_n receives the non-isolated
    vertex count n; pre_w/pst_w use slots [0, n); phases = double[3]
-   (hist+rank, edge passes, sweep). */
-int64_t sheep_seq_tree(const int64_t *src, const int64_t *dst,
+   (hist+rank, edge passes, sweep). ``elem`` is the input element width
+   (4 or 8 bytes): the int32 funnel transfer stays narrow end-to-end —
+   no driver-side widening pass, half the read traffic in the two
+   edge loops. */
+int64_t sheep_seq_tree(const void *src_v, const void *dst_v, int64_t elem,
                        int64_t n_edges, int64_t m,
                        int64_t *deg_full,              /* [m] out */
                        int32_t *pos_full,              /* [m] out */
@@ -273,14 +276,23 @@ int64_t sheep_seq_tree(const int64_t *src, const int64_t *dst,
                        int64_t *kid_out, int64_t *par_out,  /* [min(E,m)] */
                        int64_t *pre_w, int64_t *pst_w,      /* [m] out */
                        int64_t *out_n, double *phases) {
+    const int32_t *s32 = (const int32_t *)src_v;
+    const int32_t *d32 = (const int32_t *)dst_v;
+    const int64_t *s64 = (const int64_t *)src_v;
+    const int64_t *d64 = (const int64_t *)dst_v;
+    if (elem != 4 && elem != 8) return -2;
     double t0 = sheep_now();
     for (int64_t v = 0; v < m; v++) deg_full[v] = 0;
-    for (int64_t i = 0; i < n_edges; i++) {
-        if ((uint64_t)src[i] >= (uint64_t)m) return -2;
-        if ((uint64_t)dst[i] >= (uint64_t)m) return -2;
-        deg_full[src[i]]++;
-        deg_full[dst[i]]++;
+#define SHEEP_SEQ_HIST(SRC, DST)                                  \
+    for (int64_t i = 0; i < n_edges; i++) {                       \
+        int64_t a = SRC[i], b = DST[i];                           \
+        if ((uint64_t)a >= (uint64_t)m) return -2;                \
+        if ((uint64_t)b >= (uint64_t)m) return -2;                \
+        deg_full[a]++;                                            \
+        deg_full[b]++;                                            \
     }
+    if (elem == 4) { SHEEP_SEQ_HIST(s32, d32) } else { SHEEP_SEQ_HIST(s64, d64) }
+#undef SHEEP_SEQ_HIST
     /* counting rank: degree histogram (degree <= 2E but a vertex's
        degree in a deduped simple graph is <= m-1; cnt has m+1 slots
        and degrees beyond m cannot occur because each neighbor is
@@ -317,15 +329,18 @@ int64_t sheep_seq_tree(const int64_t *src, const int64_t *dst,
     t0 = sheep_now();
     /* pos-space edges + hi histogram (cnt reused: zero [0, n]) */
     for (int64_t p = 0; p <= n; p++) cnt[p] = 0;
-    for (int64_t i = 0; i < n_edges; i++) {
-        int32_t ps = pos_full[src[i]];
-        int32_t pd = pos_full[dst[i]];
-        int32_t lo = ps < pd ? ps : pd;
-        int32_t hi = ps < pd ? pd : ps;
-        lo_t[i] = lo;
-        hi_t[i] = hi;
-        cnt[hi]++;
+#define SHEEP_SEQ_XFORM(SRC, DST)                                 \
+    for (int64_t i = 0; i < n_edges; i++) {                       \
+        int32_t ps = pos_full[SRC[i]];                            \
+        int32_t pd = pos_full[DST[i]];                            \
+        int32_t lo = ps < pd ? ps : pd;                           \
+        int32_t hi = ps < pd ? pd : ps;                           \
+        lo_t[i] = lo;                                             \
+        hi_t[i] = hi;                                             \
+        cnt[hi]++;                                                \
     }
+    if (elem == 4) { SHEEP_SEQ_XFORM(s32, d32) } else { SHEEP_SEQ_XFORM(s64, d64) }
+#undef SHEEP_SEQ_XFORM
     run = 0;
     for (int64_t p = 0; p < n; p++) {
         int32_t c = cnt[p]; pre_w[p] = c; cnt[p] = (int32_t)run; run += c;
@@ -489,7 +504,8 @@ def _load() -> None:
         raw_st = lib.sheep_seq_tree
         raw_st.restype = ctypes.c_int64
         raw_st.argtypes = [
-            p64, p64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64,
             p64, p32, p32, p32, p32, p32, p32,
             p64, p64, p64, p64, p64, pdb,
         ]
@@ -552,6 +568,8 @@ def _load() -> None:
         return n_out, float(phases[0]), float(phases[1])
 
     def fn_seq_tree(src: np.ndarray, dst: np.ndarray, m: int):
+        if src.dtype != dst.dtype or src.dtype not in (np.int32, np.int64):
+            raise ValueError("sheep_seq_tree: src/dst must share an int32/int64 dtype")
         n_edges = len(src)
         deg_full = np.empty(m, dtype=np.int64)
         pos_full = np.empty(m, dtype=np.int32)
@@ -568,8 +586,9 @@ def _load() -> None:
         out_n = np.zeros(1, dtype=np.int64)
         phases = np.zeros(3, dtype=np.float64)
         n_out = raw_st(
-            src.ctypes.data_as(p64),
-            dst.ctypes.data_as(p64),
+            src.ctypes.data,
+            dst.ctypes.data,
+            src.dtype.itemsize,
             n_edges,
             m,
             deg_full.ctypes.data_as(p64),

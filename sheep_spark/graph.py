@@ -205,10 +205,12 @@ def driver_sequence_arrays(canon: DataFrame, timings: dict | None = None,
 
 def _collect_canon_endpoints(canon: DataFrame, timings: dict | None,
                              ids_fit_int32: bool):
-    """Arrow-collect the canonical half's (src, dst) as int64 arrays,
-    with the int32 transfer + wrapped-id rejection (shared by the
-    sequence funnel and the fused sequence+tree funnel)."""
-    from .tree import collect_int64_columns
+    """Arrow-collect the canonical half's (src, dst) — native width
+    (int32 under the narrow transfer, int64 otherwise) — with the
+    wrapped-id rejection (shared by the sequence funnel and the fused
+    sequence+tree funnel). Consumers widen at their own entry when
+    they need int64; the fused C kernel reads either width."""
+    from .tree import collect_native_columns
 
     if ids_fit_int32:
         from pyspark.sql import functions as F
@@ -216,7 +218,7 @@ def _collect_canon_endpoints(canon: DataFrame, timings: dict | None,
         canon = canon.select(
             F.col("src").cast("int").alias("src"), F.col("dst").cast("int").alias("dst")
         )
-    src, dst = collect_int64_columns(canon, ("src", "dst"), timings)
+    src, dst = collect_native_columns(canon, ("src", "dst"), timings)
     if ids_fit_int32 and len(src) and (int(src.min()) < 0 or int(dst.min()) < 0):
         # ADVICE r5: under non-ANSI SQL config the JVM-side int cast
         # WRAPS an id >= 2^31 instead of erroring, and every downstream
@@ -235,11 +237,15 @@ def _collect_canon_endpoints(canon: DataFrame, timings: dict | None,
 
 def _sequence_from_endpoints(src, dst, dense_vid_limit: int,
                              timings: dict | None = None) -> dict:
-    """The numpy body of driver_sequence_arrays (post-collect)."""
+    """The numpy body of driver_sequence_arrays (post-collect). Widens
+    narrow-transfer int32 endpoints to int64 at entry so every returned
+    array keeps its documented int64 dtype."""
     import time
 
     import numpy as np
 
+    src = np.asarray(src).astype(np.int64, copy=False)
+    dst = np.asarray(dst).astype(np.int64, copy=False)
     t0 = time.monotonic()
     m = int(max(src.max(), dst.max())) + 1 if len(src) else 0
     if len(src) and src.min() >= 0 and dst.min() >= 0 and m <= dense_vid_limit:

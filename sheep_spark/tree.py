@@ -503,6 +503,31 @@ def _collect_pos_pairs(edges_pos_df: DataFrame, timings: dict | None = None):
     return collect_int64_columns(edges_pos_df, ("lo", "hi"), timings)
 
 
+def collect_native_columns(df: DataFrame, cols: tuple[str, ...],
+                           timings: dict | None = None) -> tuple[np.ndarray, ...]:
+    """Like collect_int64_columns but keeps each column's NATIVE width:
+    an int32 transfer (the narrow funnel cast) arrives as int32 numpy —
+    no widening pass, half the driver-side footprint. Consumers that
+    need int64 widen at their own entry (the fused C kernel reads
+    either width directly)."""
+    import time
+
+    t0 = time.monotonic()
+    sel = df.select(*cols)
+    if hasattr(sel, "toArrow"):
+        tbl = sel.toArrow()
+        out = tuple(
+            np.ascontiguousarray(tbl.column(c).to_numpy(zero_copy_only=False))
+            for c in cols
+        )
+    else:
+        pdf = sel.toPandas()
+        out = tuple(np.ascontiguousarray(pdf[c].to_numpy()) for c in cols)
+    if timings is not None:
+        timings["collect_s"] = round(time.monotonic() - t0, 2)
+    return out
+
+
 def build_tree_arrays(lo: np.ndarray, hi: np.ndarray, n_vertices: int,
                       timings: dict | None = None) -> dict:
     """Driver kernel from pre-collected pos-space arrays → jnid-indexed

@@ -195,9 +195,13 @@ def test_fused_seq_tree_matches_staged(spark):
             fallback = graph.driver_sequence_tree_arrays(canon)
         finally:
             _csweep.loaded_seq_tree = real
+        variants = [fused, fallback]
+        if label == "dense":  # narrow int32 transfer end-to-end
+            variants.append(graph.driver_sequence_tree_arrays(canon, ids_fit_int32=True))
 
-        for out in (fused, fallback):
+        for out in variants:
             assert out["n_vertices"] == n, label
+            assert out["vid"].dtype == out["pos"].dtype == np.int64, label
             assert np.array_equal(out["vid"], ref["vid"]), label
             assert np.array_equal(out["degree"], ref["degree"]), label
             assert np.array_equal(out["pos"], ref["pos"]), label
