@@ -92,7 +92,16 @@ def main() -> None:
 
     from sheep_spark.tree import collect_int64_columns
 
-    for _ in range(3):
+    # ADAPTIVE (r6 late): in one full-budget run the real collect still
+    # cost 29.5 s after three fixed warmup passes (post-scaling throttle
+    # state) while every driver-side stage matched the healthy-window
+    # run exactly — the arenas were still growing. Warm until a pass is
+    # actually warm (< 2.5 s) or six passes, and record how many it
+    # took; the warmup is pre-clock prep either way.
+    warm_passes = 0
+    warm_last = 0.0
+    for _ in range(6):
+        t0 = time.time()
         collect_int64_columns(
             spark.range(EDGES).select(
                 F.col("id").cast("int").alias("src"),
@@ -100,6 +109,22 @@ def main() -> None:
             ),
             ("src", "dst"),
         )
+        warm_last = time.time() - t0
+        warm_passes += 1
+        if warm_passes >= 3 and warm_last < 2.5:
+            break
+
+    # Warm the full-width driver UPLOAD shape too (tree_df_from_arrays
+    # ships a V-row arrow table; its first full-size pass measured
+    # 0.9 s vs 3.1 s across windows — same first-touch class as the
+    # collect, same once-per-driver cost in production).
+    import pyarrow as _pa
+
+    spark.createDataFrame(
+        _pa.table({"jnid": np.arange(V, dtype=np.int64),
+                   "parent": np.arange(V, dtype=np.int64),
+                   "pst_weight": np.ones(V, dtype=np.int64)})
+    ).count()
 
     stages: dict[str, float] = {}
 
@@ -253,6 +278,8 @@ def main() -> None:
                 # artifacts (which include synth+dedup in the span)
                 # can't be compared against this one silently
                 "span": "r5-presimplified-input",
+                "warmup": {"collect_passes": warm_passes,
+                           "collect_last_s": round(warm_last, 2)},
                 "stages_s": {k: round(v, 2) for k, v in stages.items()},
                 "pipeline_core_s": round(core, 2),
                 "us_per_undirected_edge": round(core * 1e6 / n_undirected, 4),
